@@ -1,0 +1,180 @@
+"""Typed configuration for the whole framework.
+
+The reference spreads configuration over four mechanisms (argparse, roslaunch
+params, YAML->EasyDict, and module-level feature-flag globals in
+utils/datasets/carla.py:8-10). Here everything is one tree of frozen
+dataclasses; a pipeline variant is a config value, not an import-time flag.
+
+Reference anchors (for parity checks):
+- N_SCAN_ROW / per-LiDAR thresholds: include/header.h:37, src/frameFeature.cpp:141-153
+- odometry solver budget:            src/lidarOdometry_onlyPC.cpp:160,243-249
+- keyframe / loop-closure gates:     src/mapOptmization.cpp:128-144,168-198,240-251
+- model operating point:             scripts/ActiveSceneFlow/main_sju_occ_ros.py:507,514
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class Variant(enum.Enum):
+    """The five pipeline variants (launch-file equivalents).
+
+    Mirrors the capability matrix in launch/*.launch:
+    - ONLY_PC: pure geometric LOAM (run_onlyPC.launch)
+    - SEG:     GT semantics gate static points, GT flow ego-motion (run_Seg.launch)
+    - NO_SEG:  GT flow + GMM background split (run_noSeg.launch)
+    - SF:      predicted flow + GMM split (run_noSeg_ActiveSceneFlow.launch)
+    - SSF:     predicted flow + learned segmentation (run_Pointnet2Seg_*.launch)
+    """
+
+    ONLY_PC = "onlypc"
+    SEG = "seg"
+    NO_SEG = "noseg"
+    SF = "sf"
+    SSF = "ssf"
+
+
+@dataclasses.dataclass(frozen=True)
+class LidarConfig:
+    """Scan geometry. Reference: include/header.h:37, src/frameFeature.cpp:57-71."""
+
+    n_scan_rows: int = 16
+    # elevation model: 16-row velodyne rows span [-15, +15] deg at 2 deg pitch
+    vertical_fov_deg: Tuple[float, float] = (-15.0, 15.0)
+    max_points: int = 8192  # padded scan size (N); validity mask marks real points
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Planar feature extraction. Reference: src/frameFeature.cpp:84-153."""
+
+    curvature_halfwin: int = 5  # 11-point curvature window (j-5 .. j+5)
+    plane_curv_max_16: float = 0.05  # planeMin for 16-row (frameFeature.cpp:144)
+    plane_curv_max_64: float = 0.005  # for 64-row (frameFeature.cpp:148)
+    plane_stride_16: int = 3  # planeSpan thinning stride (frameFeature.cpp:145)
+    plane_stride_64: int = 25
+    row_margin_64: int = 5  # rowIndexStart/End for 64-row (frameFeature.cpp:150-151)
+    voxel_leaf: float = 0.2  # downSizeFilterPlane leaf (frameFeature.cpp:153)
+    max_features: int = 4096  # padded feature-cloud size
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-scan registration. Reference: src/lidarOdometry_onlyPC.cpp."""
+
+    outer_iters: int = 2  # re-association passes (lidarOdometry_onlyPC.cpp:160)
+    gn_iters: int = 8  # Ceres max_num_iterations equivalent (:246)
+    knn_neighbors: int = 16  # neighborhood for plane fit (ref uses 30-NN then 5)
+    plane_fit_points: int = 5  # 5-point plane fit (:207-220)
+    max_fit_dist: float = 1.0  # furthest-of-5 < 1 m gate (:207)
+    coplanar_max: float = 0.15  # planeMax for 16-row (:315); 0.05 for 64-row
+    huber_delta: float = 0.1  # HuberLoss(0.1) (:149)
+
+
+@dataclasses.dataclass(frozen=True)
+class EgoMotionConfig:
+    """Flow-based ego-motion. Reference: scripts/PointCloudOdometry*.py."""
+
+    gmm_components: int = 2  # GaussianMixture(n_components=2) (noSeg:98)
+    gmm_iters: int = 25  # fixed-iteration EM inside jit (sklearn default max 100)
+    gmm_reg_covar: float = 1e-6  # sklearn default covariance floor
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Keyframe pose-graph back-end. Reference: src/mapOptmization.cpp."""
+
+    max_keyframes: int = 512  # preallocated keyframe buffer
+    keyframe_trans_gate: float = 1.0  # >1 m => keyframe (mapOptmization.cpp:140-141)
+    keyframe_rot_gate: float = 0.01  # >0.01 rad any axis => keyframe
+    loop_search_radius: float = 15.0  # radiusSearch 15 m (:181)
+    loop_time_gap: float = 20.0  # >20 s separation (:186)
+    loop_min_keyframes: int = 5  # need >=5 keyframes before looping (:227)
+    loop_skip_after_detect: int = 2  # skip 2 frames after detect (:196)
+    loop_skip_after_close: int = 30  # skip 30 frames after closure (:254)
+    loop_submap_halfwidth: int = 10  # +-10 keyframes submap (:236)
+    icp_max_corr_dist: float = 50.0  # ICP maxCorrespondenceDistance (:241)
+    icp_iters: int = 30  # ref runs 100 PCL iters; GN converges much faster
+    icp_fitness_gate: float = 0.2  # fitness < 0.2 accept gate (:250)
+    icp_voxel_leaf: float = 0.1  # downSizeFilterICP (:461)
+    submap_points: int = 16384  # padded submap size for loop ICP
+    posegraph_gn_iters: int = 8  # batch GN replacing iSAM2 updates (:280-293)
+    # factor noise (diag variances) — mapOptmization.cpp:151,160,270
+    prior_rot_var: float = 1e-2
+    prior_trans_var: float = 1e8
+    odom_rot_var: float = 1e-6
+    odom_trans_var: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowNetConfig:
+    """TFlow scene-flow network. Reference: TFlowV3_Occlussion.py:65-101."""
+
+    npoint: int = 8192
+    # set-abstraction pyramid: points per level and mlp widths
+    sa_npoints: Tuple[int, ...] = (2048, 512, 256, 128)
+    sa_nsample: Tuple[int, ...] = (16, 16, 16, 8)
+    sa_mlps: Tuple[Tuple[int, ...], ...] = (
+        (32, 32, 64),
+        (64, 64, 128),
+        (128, 128, 256),
+        (256, 256, 512),
+    )
+    cost_nsample: int = 16
+    warp_nsample: Tuple[int, ...] = (3, 5, 7, 7)  # wraping_num per level (coarse->fine)
+    upsample_k: Tuple[int, ...] = (5, 5, 7)  # flow_up_sample k between levels
+    flow_clamp: float = 50.0  # re_sf.clamp(-50, 50) (soflow.py:515)
+    warp_clamp: float = 10.0  # warped_pos2.clamp(-10, 10) (soflow.py:1257)
+    upsample_clamp: float = 100.0  # dense_flow.clamp(-100, 100) (soflow.py:1474)
+    leaky_rate: float = 0.1
+    use_bn: bool = True  # BatchNorm in SA/UpConv (utils/utils.py:200)
+    joint_seg: bool = False  # add_Seg_after_FLow: 4-channel flow+seg head
+    dtype: str = "float32"  # compute dtype for the net ("bfloat16" for perf)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """multiScaleLoss. Reference: TFlowV3_Occlussion.py:199-220."""
+
+    alpha: Tuple[float, ...] = (0.02, 0.04, 0.08, 0.16)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training harness. Reference: main_sju_occ_ros.py:411-452 + .sh files."""
+
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    decay_steps: int = 200000
+    decay_rate: float = 0.7
+    lr_min: float = 1e-5
+    epochs: int = 600
+    batch_size: int = 16
+    seed: int = 1234
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level config: one per run, selects the variant and wires sub-configs."""
+
+    variant: Variant = Variant.ONLY_PC
+    lidar: LidarConfig = LidarConfig()
+    features: FeatureConfig = FeatureConfig()
+    odometry: OdometryConfig = OdometryConfig()
+    egomotion: EgoMotionConfig = EgoMotionConfig()
+    mapping: MappingConfig = MappingConfig()
+    flownet: FlowNetConfig = FlowNetConfig()
+    loss: LossConfig = LossConfig()
+    train: TrainConfig = TrainConfig()
+    max_scans: int = 2048  # max sequence length for the preallocated scan loop
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def for_variant(variant: Variant, **kw) -> PipelineConfig:
+    """Build the default config for a pipeline variant."""
+    return PipelineConfig(variant=variant, **kw)

@@ -1,0 +1,183 @@
+"""Planar feature extraction (scan preprocessing).
+
+TPU-native replacement for the frameFeature ROS node (src/frameFeature.cpp):
+  1. re-bin points into scan rows by elevation angle       (:57-71)
+  2. per-row arrival-order index                           (:74-79)
+  3. 11-point curvature along each row                     (:84-107)
+  4. curvature-thresholded planar selection with stride
+     thinning                                              (:110-123)
+  5. optional 0.2 m voxel downsample                       (:125-127)
+
+Design notes (TPU-first deviations, all behavior-preserving):
+- The reference encodes ``intensity = indexInRow + scanID/100`` (:77) only
+  because PCL points carry a single scalar; here the ring id is a first-class
+  array channel (used later by the ring-diverse plane fit,
+  src/lidarOdometry_onlyPC.cpp:180-205).
+- Row bucketing + per-row windows are realized by a stable sort on
+  (row, arrival index) and masked shifts — no ragged per-row vectors.
+- The greedy "select then skip planeSpan-1 points" thinning (:113-121) is a
+  sequential recurrence; we use the parallel equivalent "every planeSpan-th
+  candidate per row", which yields the same density and spatial distribution.
+- The reference computes curvature only for j in [5, len-5) and leaves the
+  initialization value 0 elsewhere, so row-edge points always pass the
+  ``value < planeMin`` gate (:113); we reproduce that by zeroing curvature
+  where the window is invalid.
+- PCL emits a dynamically-sized cloud; we return fixed-size padded arrays with
+  a validity mask (and a compaction helper to a fixed feature budget).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ssf_slam_tpu.config import FeatureConfig, LidarConfig
+from ssf_slam_tpu.ops.voxel import voxel_downsample
+
+Array = jax.Array
+
+
+class FeatureCloud(NamedTuple):
+    """Fixed-size padded planar-feature cloud."""
+
+    xyz: Array  # [F, 3]
+    ring: Array  # [F] int32 scan row id
+    mask: Array  # [F] bool validity
+
+
+def assign_scan_rows(points: Array, lidar: LidarConfig) -> Array:
+    """Elevation-angle row assignment. Reference: src/frameFeature.cpp:57-71.
+
+    Returns [N] int32 row ids; -1 marks points outside the vertical FOV.
+    """
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    angle = jnp.degrees(jnp.arctan2(z, jnp.sqrt(x * x + y * y)))
+    if lidar.n_scan_rows == 16:
+        row = jnp.floor((angle + 15.0) / 2.0 + 0.5).astype(jnp.int32)
+    elif lidar.n_scan_rows == 64:
+        upper = jnp.floor((2.0 - angle) * 3.0 + 0.5).astype(jnp.int32)
+        lower = lidar.n_scan_rows // 2 + jnp.floor(
+            (-8.83 - angle) * 2.0 + 0.5
+        ).astype(jnp.int32)
+        row = jnp.where(angle >= -8.83, upper, lower)
+    else:
+        lo, hi = lidar.vertical_fov_deg
+        pitch = (hi - lo) / max(lidar.n_scan_rows - 1, 1)
+        row = jnp.floor((angle - lo) / pitch + 0.5).astype(jnp.int32)
+    valid = (row >= 0) & (row < lidar.n_scan_rows)
+    return jnp.where(valid, row, -1)
+
+
+def _row_sorted_curvature(
+    xyz: Array, row: Array, mask: Array, halfwin: int
+) -> Array:
+    """Curvature per point, computed in row-major arrival order.
+
+    Implements the 11-point second-difference energy of
+    src/frameFeature.cpp:84-107 as masked shifts over a (row, index)-sorted
+    view. Returns [N] curvature in ORIGINAL point order; points whose window
+    leaves the row (or hits padding) get 0 — matching the reference's
+    uninitialized-edge behavior (see module docstring).
+    """
+    n = xyz.shape[0]
+    # stable sort by row; invalid points pushed to the end
+    key = jnp.where(mask, row, jnp.int32(1 << 20))
+    order = jnp.argsort(key, stable=True)
+    inv_order = jnp.argsort(order)
+    sx = xyz[order]
+    srow = key[order]
+
+    win = 2 * halfwin  # number of neighbor terms
+    acc = -float(win) * sx
+    window_ok = jnp.ones((n,), dtype=bool)
+    for d in range(1, halfwin + 1):
+        for sgn in (-1, 1):
+            sh = jnp.roll(sx, -sgn * d, axis=0)
+            shrow = jnp.roll(srow, -sgn * d, axis=0)
+            acc = acc + sh
+            window_ok = window_ok & (shrow == srow)
+    curv = jnp.sum(acc * acc, axis=-1)
+    curv = jnp.where(window_ok, curv, 0.0)
+    return curv[inv_order]
+
+
+def _strided_candidate_select(
+    cand: Array, row: Array, mask: Array, span: int
+) -> Array:
+    """Every span-th candidate per row (parallel form of frameFeature.cpp:113-121).
+
+    cand/mask [N] bool, row [N] int. Candidate ranks are counted per row in
+    arrival order via a one-hot cumulative sum.
+    """
+    n = cand.shape[0]
+    c = (cand & mask).astype(jnp.int32)
+    # per-row running candidate count: cumsum of one-hot [N, R] is O(N*R);
+    # rows are few (16/64) so this stays cheap and fully vectorized.
+    n_rows = int(jnp.max(jnp.array([1]))) if False else None  # placeholder
+    del n_rows
+    max_row = 64
+    onehot = jax.nn.one_hot(jnp.clip(row, 0, max_row - 1), max_row, dtype=jnp.int32)
+    ranks = jnp.cumsum(onehot * c[:, None], axis=0) - onehot * c[:, None]
+    rank = jnp.sum(ranks * onehot, axis=-1)  # candidate rank within own row
+    return cand & mask & (rank % span == 0)
+
+
+def compact_features(
+    xyz: Array, ring: Array, selected: Array, max_features: int
+) -> FeatureCloud:
+    """Pack selected points (original order preserved) into a fixed budget."""
+    n = xyz.shape[0]
+    j = jnp.arange(n, dtype=jnp.int32)
+    score = jnp.where(selected, n - j, -j)  # selected first, ascending j
+    _, idx = jax.lax.top_k(score, max_features)
+    out_mask = selected[idx]
+    return FeatureCloud(xyz=xyz[idx], ring=ring[idx], mask=out_mask)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lidar", "cfg", "apply_voxel")
+)
+def extract_plane_features(
+    points: Array,
+    mask: Array,
+    lidar: LidarConfig = LidarConfig(),
+    cfg: FeatureConfig = FeatureConfig(),
+    apply_voxel: bool = False,
+) -> FeatureCloud:
+    """Full frameFeature pipeline on one padded scan.
+
+    Args:
+      points: [N, 3] scan points (padded).
+      mask: [N] bool validity.
+      apply_voxel: the reference *computes* a 0.2 m voxel filter but publishes
+        the unfiltered plane cloud (src/frameFeature.cpp:126-133 filters into
+        ``cloud_temp`` then serializes ``framePlanePtr``); default False
+        matches the published behavior.
+
+    Returns:
+      FeatureCloud with cfg.max_features rows.
+    """
+    row = assign_scan_rows(points, lidar)
+    mask = mask & (row >= 0)
+    if lidar.n_scan_rows == 64:
+        mask = mask & (row >= cfg.row_margin_64) & (
+            row < lidar.n_scan_rows - cfg.row_margin_64
+        )
+
+    curv = _row_sorted_curvature(points, row, mask, cfg.curvature_halfwin)
+    plane_min = (
+        cfg.plane_curv_max_16 if lidar.n_scan_rows == 16 else cfg.plane_curv_max_64
+    )
+    span = cfg.plane_stride_16 if lidar.n_scan_rows == 16 else cfg.plane_stride_64
+    cand = curv < plane_min
+    selected = _strided_candidate_select(cand, row, mask, span)
+
+    if apply_voxel:
+        vox_pts, vox_mask = voxel_downsample(points, cfg.voxel_leaf, selected)
+        points = vox_pts
+        selected = vox_mask
+
+    return compact_features(points, row, selected, cfg.max_features)
