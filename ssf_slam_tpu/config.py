@@ -69,7 +69,12 @@ class OdometryConfig:
     gn_iters: int = 8  # Ceres max_num_iterations equivalent (:246)
     knn_neighbors: int = 16  # neighborhood for plane fit (ref uses 30-NN then 5)
     plane_fit_points: int = 5  # 5-point plane fit (:207-220)
-    max_fit_dist: float = 1.0  # furthest-of-5 < 1 m gate (:207)
+    # Furthest-of-5 proximity gate (:207). The reference uses 1 m against
+    # dense real-Velodyne rows; at the CARLA 8192-pt/scan density its own
+    # pipeline runs at, feature spacing exceeds 1 m past ~8 m range, so the
+    # default here is 2 m — planarity itself is enforced by the coplanarity
+    # and conditioning gates, not by proximity.
+    max_fit_dist: float = 2.0
     coplanar_max: float = 0.15  # planeMax for 16-row (:315); 0.05 for 64-row
     huber_delta: float = 0.1  # HuberLoss(0.1) (:149)
 

@@ -1,0 +1,10 @@
+from ssf_slam_tpu.odometry.scan2scan import (  # noqa: F401
+    fit_ring_diverse_planes,
+    scan_to_scan,
+    PlaneModel,
+)
+from ssf_slam_tpu.odometry.egomotion import (  # noqa: F401
+    ego_motion_from_flow,
+    ego_motion_gt_seg,
+    ego_motion_gmm,
+)

@@ -1,0 +1,125 @@
+"""Odometry tests: plane fitting, scan-to-scan GN, flow ego-motion."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssf_slam_tpu.config import LidarConfig, OdometryConfig
+from ssf_slam_tpu.data.synthetic import SyntheticWorld, simulate_scan
+from ssf_slam_tpu.frontend import extract_plane_features
+from ssf_slam_tpu.odometry import (
+    ego_motion_gmm,
+    ego_motion_gt_seg,
+    fit_ring_diverse_planes,
+    scan_to_scan,
+)
+from ssf_slam_tpu.ops.se3 import quat_rotate, quat_to_matrix
+
+
+def make_feature_cloud(world, pos, yaw, seed=0):
+    from ssf_slam_tpu.data.synthetic import subsample_scan
+
+    rng = np.random.default_rng(seed)
+    pts, mask, oid = simulate_scan(
+        world, pos, yaw, 0.0, pts_per_row=1024, noise=0.004, rng=rng
+    )
+    scan, m, _ = subsample_scan(pts, mask, oid, 8192, rng)
+    return extract_plane_features(jnp.asarray(scan), jnp.asarray(m), LidarConfig())
+
+
+@pytest.fixture(scope="module")
+def world():
+    return SyntheticWorld.traffic_scene(
+        np.random.default_rng(5), n_static=10, n_moving=0
+    )
+
+
+def test_plane_normals_on_ground(world):
+    cloud = make_feature_cloud(world, np.array([0.0, 0, 1.8]), 0.0)
+    planes = fit_ring_diverse_planes(cloud)
+    m = np.asarray(planes.valid)
+    assert m.sum() > 300
+    # ground points (z ~ -1.8 in sensor frame) must have near-vertical normals
+    xyz = np.asarray(cloud.xyz)
+    nrm = np.asarray(planes.normal)
+    ground = m & (np.abs(xyz[:, 2] + 1.8) < 0.1)
+    assert ground.sum() > 100
+    up = np.abs(nrm[ground][:, 2])
+    assert np.median(up) > 0.98
+
+
+def test_scan_to_scan_recovers_motion(world):
+    pos1, yaw1 = np.array([0.0, 0.0, 1.8]), 0.0
+    pos2, yaw2 = np.array([0.6, 0.05, 1.8]), 0.03
+    last = make_feature_cloud(world, pos1, yaw1, seed=1)
+    curr = make_feature_cloud(world, pos2, yaw2, seed=2)
+    planes = fit_ring_diverse_planes(last)
+
+    q, t, n_in = scan_to_scan(
+        curr, last, planes, jnp.array([0, 0, 0, 1.0]), jnp.zeros(3)
+    )
+    assert int(n_in) > 200
+
+    # ground truth: p_last = R_rel p_curr + t_rel with
+    # R_rel = R1^T R2, t_rel = R1^T (t2 - t1) (z-yaw only here)
+    c1, s1 = np.cos(yaw1), np.sin(yaw1)
+    c2, s2 = np.cos(yaw2), np.sin(yaw2)
+    r1 = np.array([[c1, -s1, 0], [s1, c1, 0], [0, 0, 1]])
+    r2 = np.array([[c2, -s2, 0], [s2, c2, 0], [0, 0, 1]])
+    r_rel = r1.T @ r2
+    t_rel = r1.T @ (pos2 - pos1)
+
+    np.testing.assert_allclose(np.asarray(quat_to_matrix(q)), r_rel, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(t), t_rel, atol=5e-2)
+
+
+def test_scan_to_scan_identity(world):
+    cloud = make_feature_cloud(world, np.array([0.0, 0, 1.8]), 0.0, seed=3)
+    planes = fit_ring_diverse_planes(cloud)
+    q, t, _ = scan_to_scan(
+        cloud, cloud, planes, jnp.array([0, 0, 0, 1.0]), jnp.zeros(3)
+    )
+    np.testing.assert_allclose(np.asarray(t), 0.0, atol=1e-3)
+    np.testing.assert_allclose(abs(float(q[3])), 1.0, atol=1e-5)
+
+
+def test_ego_motion_gt_seg():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-30, 30, (2000, 3)).astype(np.float32)
+    yaw = 0.02
+    c, s = np.cos(yaw), np.sin(yaw)
+    r2 = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t2 = np.array([0.5, -0.2, 0.01], np.float32)
+    # flow maps frame1 -> frame2 coords; inverse rigid: p2 = R^T(p1 - t)
+    warped = (pts - t2) @ r2
+    flow = warped - pts
+    fg = np.zeros(2000, np.float32)
+    fg[:300] = 1.0
+    flow[:300] += rng.normal(3.0, 0.3, (300, 3))  # movers corrupt flow
+    q, t = ego_motion_gt_seg(
+        jnp.asarray(pts), jnp.asarray(flow), jnp.asarray(fg),
+        jnp.ones(2000, bool),
+    )
+    # recovered transform maps frame2 back to frame1: p1 = R p2 + t
+    back = quat_rotate(q[None], jnp.asarray(warped)) + t[None]
+    np.testing.assert_allclose(np.asarray(back), pts, atol=1e-3)
+
+
+def test_ego_motion_gmm_rejects_movers():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-30, 30, (3000, 3)).astype(np.float32)
+    yaw = -0.03
+    c, s = np.cos(yaw), np.sin(yaw)
+    r2 = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t2 = np.array([-0.8, 0.3, 0.0], np.float32)
+    warped = (pts - t2) @ r2
+    flow = warped - pts
+    flow[:400] += np.array([2.5, 0.5, 0.0], np.float32)  # movers
+    q, t, bg = ego_motion_gmm(
+        jnp.asarray(pts), jnp.asarray(flow), jnp.ones(3000, bool)
+    )
+    bg = np.asarray(bg)
+    assert bg[:400].mean() < 0.1  # movers excluded
+    assert bg[400:].mean() > 0.9
+    back = quat_rotate(q[None], jnp.asarray(warped)) + t[None]
+    np.testing.assert_allclose(np.asarray(back), pts, atol=1e-3)
