@@ -67,14 +67,38 @@ class OdometryConfig:
 
     outer_iters: int = 2  # re-association passes (lidarOdometry_onlyPC.cpp:160)
     gn_iters: int = 8  # Ceres max_num_iterations equivalent (:246)
+    # Normal-compatible association (upgrade over the reference's bare 1-NN
+    # seed, cpp:168): candidates per query and the score penalty (m^2 of
+    # squared distance added at full normal incompatibility).
+    assoc_neighbors: int = 8
+    assoc_normal_penalty: float = 2.0
+    assoc_max_dist: float = 1.5  # drop correspondences farther than this (m)
+    # Solver stabilization (no reference equivalent; Ceres' internal trust
+    # region played this role): range-noise scale r0 (sigma grows as
+    # 1+(r/r0)^2), Levenberg damping, and per-iteration step clamps.
+    range_sigma_scale: float = 30.0
+    lm_lambda: float = 1e-3
+    max_rot_step: float = 0.05
+    max_trans_step: float = 0.5
+    # Global BEV-correlation translation init per frame (odometry/bev_init.py)
+    bev_init: bool = True
+    # Scan-to-local-map: register against the union of the last N feature
+    # clouds instead of a single scan. Sparse far-field structure (narrow
+    # visibility stripes) accumulates density across scans, keeping all six
+    # DoF constrained where single-scan features vanish. The reference is
+    # strictly scan-to-scan (lidarOdometry_onlyPC.cpp) and loses such axes.
+    local_map_scans: int = 3
     knn_neighbors: int = 16  # neighborhood for plane fit (ref uses 30-NN then 5)
     plane_fit_points: int = 5  # 5-point plane fit (:207-220)
-    # Furthest-of-5 proximity gate (:207). The reference uses 1 m against
-    # dense real-Velodyne rows; at the CARLA 8192-pt/scan density its own
-    # pipeline runs at, feature spacing exceeds 1 m past ~8 m range, so the
-    # default here is 2 m — planarity itself is enforced by the coplanarity
-    # and conditioning gates, not by proximity.
+    # Furthest-of-5 proximity gate (:207). The reference uses an absolute 1 m
+    # against dense real-Velodyne rows; feature spacing grows linearly with
+    # range (angular sampling), so an absolute gate silently drops all
+    # far-field planes — starving whole translation axes of constraints when
+    # the only surfaces facing that axis are distant (measured: sum w*nx^2 of
+    # 1.0 vs 500 for the constrained axes). Gate = max(max_fit_dist,
+    # range_gate_factor * range) instead.
     max_fit_dist: float = 2.0
+    range_gate_factor: float = 0.12
     coplanar_max: float = 0.15  # planeMax for 16-row (:315); 0.05 for 64-row
     huber_delta: float = 0.1  # HuberLoss(0.1) (:149)
 

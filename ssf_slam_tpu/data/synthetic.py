@@ -60,9 +60,23 @@ class SyntheticWorld:
     ) -> "SyntheticWorld":
         """A CARLA-like street: buildings (static boxes) + vehicles (movers)."""
         boxes = []
+        # perimeter walls enclose the block (continuous frontage, as real
+        # towns have): long facades guarantee plane-feature observability in
+        # every horizontal direction at every trajectory point
+        w = extent
+        for c, s in (
+            ((0.0, w, 0.0), (2 * w, 1.0, 7.0)),
+            ((0.0, -w, 0.0), (2 * w, 1.0, 7.0)),
+            ((w, 0.0, 0.0), (1.0, 2 * w, 7.0)),
+            ((-w, 0.0, 0.0), (1.0, 2 * w, 7.0)),
+        ):
+            c = np.array(c)
+            s = np.array(s, float)
+            c[2] = s[2] / 2
+            boxes.append(Box(c, s, np.zeros(3)))
         for _ in range(n_static):
-            # buildings line the street: clear corridor |y| < 8, facades at
-            # 8-22 m lateral distance (typical CARLA town geometry)
+            # buildings line the street: clear corridor |y| < 8, elongated
+            # facades at 8-22 m lateral distance (CARLA-town-like frontage)
             c = np.array(
                 [
                     rng.uniform(-extent * 0.8, extent * 0.8),
@@ -70,7 +84,21 @@ class SyntheticWorld:
                     0.0,
                 ]
             )
-            s = rng.uniform([4, 4, 3], [12, 12, 9])
+            s = rng.uniform([10, 4, 3], [30, 12, 9])
+            c[2] = s[2] / 2
+            boxes.append(Box(c, s, np.zeros(3)))
+        # street furniture: parked cars / kiosks along the road edges — the
+        # near-field structure real streets have, constraining all horizontal
+        # directions at close range
+        for _ in range(2 * n_static):
+            c = np.array(
+                [
+                    rng.uniform(-extent * 0.9, extent * 0.9),
+                    rng.choice([-1.0, 1.0]) * rng.uniform(5.0, 7.5),
+                    0.0,
+                ]
+            )
+            s = rng.uniform([1.5, 1.5, 1.0], [4.5, 2.2, 2.2])
             c[2] = s[2] / 2
             boxes.append(Box(c, s, np.zeros(3)))
         for _ in range(n_moving):

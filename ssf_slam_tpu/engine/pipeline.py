@@ -1,0 +1,240 @@
+"""The fused SLAM engine: one pure jitted step, scanned over a sequence.
+
+This module is the repo-wide inversion of the reference's architecture: the
+five-process ROS pipeline (Python front-end -> frameFeature -> lidarOdometry
+-> mapOptmization connected by TCPROS topics, launch/run_Seg.launch:8-20)
+becomes ONE pure function ``slam_step(state, scan) -> (state, outputs)``:
+
+    features -> (flow ego-motion | geometric registration) -> pose
+    integration -> keyframe mapping (+ loop closure)
+
+``lax.scan`` runs it over a preloaded sequence; ``vmap``/``shard_map`` (see
+parallel/) batch it across sequences. Topic queues, mutexes, and dual-rate
+polling threads (src/lidarOdometry.cpp:176-206) have no equivalent — state is
+a pytree threaded through the scan carry.
+
+Variant dispatch (the launch-file matrix, SURVEY §1):
+- ONLY_PC: geometric scan-to-scan GN on planar features
+- SEG:     GT mask + provided flow -> Kabsch
+- NO_SEG:  GMM split on provided flow -> Kabsch
+- SF/SSF:  identical to NO_SEG/SEG but ``scan["flow"]`` comes from the TFlow
+  network (and ``scan["static_mask"]`` from the seg head); the engine takes
+  flow as data, so the network runs fused in the same jit via ``flow_fn``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssf_slam_tpu.config import PipelineConfig, Variant
+from ssf_slam_tpu.frontend.features import FeatureCloud, extract_plane_features
+from ssf_slam_tpu.mapping.keyframes import MapState, init_map_state, mapping_step
+from ssf_slam_tpu.odometry.egomotion import (
+    ego_motion_from_flow,
+    ego_motion_gmm,
+    ego_motion_gt_seg,
+)
+from ssf_slam_tpu.odometry.scan2scan import (
+    PlaneModel,
+    fit_ring_diverse_planes,
+    scan_to_scan,
+)
+from ssf_slam_tpu.ops.se3 import pose_compose, quat_identity
+
+Array = jax.Array
+
+
+class SlamState(NamedTuple):
+    """Carry of the per-scan step."""
+
+    last_feat: FeatureCloud
+    last_planes: PlaneModel
+    have_last: Array  # bool — first-frame gate (flagStart, lidarOdometry.cpp:301)
+    odom_q: Array  # [4] integrated frame odometry (q_0_curr)
+    odom_t: Array  # [3]
+    vel_q: Array  # [4] last frame-to-frame motion — warm start
+    vel_t: Array  # [3]
+    map_state: MapState
+
+
+def init_slam_state(cfg: PipelineConfig) -> SlamState:
+    f = cfg.features.max_features
+    # the odometry target is a local map of the last N feature clouds
+    # (OdometryConfig.local_map_scans), kept in the latest scan's frame
+    m = f * (cfg.odometry.local_map_scans if cfg.variant == Variant.ONLY_PC else 1)
+    qid = quat_identity()
+    feat = FeatureCloud(
+        xyz=jnp.zeros((m, 3), jnp.float32),
+        ring=jnp.zeros((m,), jnp.int32),
+        mask=jnp.zeros((m,), bool),
+    )
+    planes = PlaneModel(
+        normal=jnp.zeros((m, 3), jnp.float32), valid=jnp.zeros((m,), bool)
+    )
+    return SlamState(
+        last_feat=feat,
+        last_planes=planes,
+        have_last=jnp.bool_(False),
+        odom_q=qid,
+        odom_t=jnp.zeros(3),
+        vel_q=qid,
+        vel_t=jnp.zeros(3),
+        map_state=init_map_state(cfg.mapping.max_keyframes, f),
+    )
+
+
+def _frame_motion(state: SlamState, scan: dict, feat: FeatureCloud,
+                  feat_planes: PlaneModel, cfg: PipelineConfig):
+    """Frame-to-frame transform T_last_curr by variant."""
+    variant = cfg.variant
+    if variant == Variant.ONLY_PC:
+        q, t, _ = scan_to_scan(
+            feat, state.last_feat, state.last_planes,
+            state.vel_q, state.vel_t, cfg.odometry,
+            curr_planes=feat_planes,
+        )
+        return q, t
+    pts, mask = scan["points"], scan["mask"]
+    flow = scan["flow"]
+    if variant == Variant.SEG:
+        return ego_motion_gt_seg(pts, flow, scan["fg_mask"], mask)
+    if variant in (Variant.NO_SEG, Variant.SF):
+        q, t, _ = ego_motion_gmm(pts, flow, mask, cfg.egomotion)
+        return q, t
+    if variant == Variant.SSF:
+        static = scan["static_mask"] & mask
+        return ego_motion_from_flow(pts, flow, static)
+    raise ValueError(variant)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def slam_step(
+    state: SlamState, scan: dict, cfg: PipelineConfig
+) -> tuple[SlamState, dict]:
+    """Process one scan.
+
+    ``scan``: {points [N,3], mask [N], time scalar} plus per-variant extras
+    (flow, fg_mask, static_mask). Returns (state, outputs) with the map-
+    optimized pose, the raw odometry pose, and the keyframe flag.
+    """
+    feat = extract_plane_features(
+        scan["points"], scan["mask"], cfg.lidar, cfg.features
+    )
+    if cfg.variant == Variant.ONLY_PC:
+        curr_planes = fit_ring_diverse_planes(feat, cfg.odometry)
+    else:
+        curr_planes = None
+
+    def with_motion(state):
+        q, t = _frame_motion(state, scan, feat, curr_planes, cfg)
+        return q, t
+
+    def identity_motion(state):
+        return quat_identity(), jnp.zeros(3)
+
+    # first frame: no relative motion (flagStart, lidarOdometry.cpp:301-303).
+    # NOTE: flow variants could compute motion on frame 0 too (flow is
+    # intrinsic to the pair), but the reference front-ends publish from the
+    # first file onward while the C++ side skips frame 0 — net effect
+    # identical: integration starts at identity.
+    rel_q, rel_t = jax.lax.cond(
+        state.have_last, with_motion, identity_motion, state
+    )
+
+    # integrate: q_0_curr = q_0_last * q_last_curr (lidarOdometry.cpp:87-88)
+    odom_q, odom_t = pose_compose((state.odom_q, state.odom_t), (rel_q, rel_t))
+
+    map_state, map_out = mapping_step(
+        state.map_state, odom_q, odom_t, feat.xyz, feat.mask,
+        scan["time"], cfg.mapping,
+    )
+
+    # update the odometry local map (sliding window of the last N feature
+    # clouds, expressed in the CURRENT scan's frame)
+    if cfg.variant == Variant.ONLY_PC:
+        from ssf_slam_tpu.ops.se3 import quat_conjugate, quat_rotate
+
+        f = cfg.features.max_features
+        inv_q = quat_conjugate(rel_q)
+        old_xyz = quat_rotate(inv_q[None], state.last_feat.xyz - rel_t[None])
+        new_feat = FeatureCloud(
+            xyz=jnp.concatenate([old_xyz[f:], feat.xyz]),
+            ring=jnp.concatenate([state.last_feat.ring[f:], feat.ring]),
+            mask=jnp.concatenate([state.last_feat.mask[f:], feat.mask]),
+        )
+        new_planes = fit_ring_diverse_planes(new_feat, cfg.odometry)
+    else:
+        new_feat = feat
+        new_planes = state.last_planes
+
+    new_state = SlamState(
+        last_feat=new_feat,
+        last_planes=new_planes,
+        have_last=jnp.bool_(True),
+        odom_q=odom_q,
+        odom_t=odom_t,
+        vel_q=rel_q,
+        vel_t=rel_t,
+        map_state=map_state,
+    )
+    outputs = dict(
+        pose_q=map_out["pose_q"],
+        pose_t=map_out["pose_t"],
+        odom_q=odom_q,
+        odom_t=odom_t,
+        rel_q=rel_q,
+        rel_t=rel_t,
+        is_keyframe=map_out["is_keyframe"],
+        n_features=jnp.sum(feat.mask.astype(jnp.int32)),
+    )
+    return new_state, outputs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_sequence_scan(state: SlamState, scans: dict, cfg: PipelineConfig):
+    """lax.scan the step over stacked scans (leading axis = frames)."""
+    def body(carry, scan):
+        return slam_step(carry, scan, cfg)
+
+    return jax.lax.scan(body, state, scans)
+
+
+def stack_scans(frames: list, cfg: PipelineConfig,
+                flow_key: Optional[str] = None) -> dict:
+    """Host-side: stack frame dicts (data/synthetic.py schema) into arrays.
+
+    flow_key selects which flow feeds the ego-motion ('gt' for Seg/noSeg
+    ground-truth configs, or a key holding predicted flow).
+    """
+    n = cfg.lidar.max_points
+    out = dict(
+        points=np.stack([f["pos1"][:n] for f in frames]).astype(np.float32),
+        mask=np.stack([f["mask1"][:n].astype(bool) for f in frames]),
+        time=np.asarray([f["time"] for f in frames], np.float32),
+    )
+    if cfg.variant != Variant.ONLY_PC:
+        key = flow_key or "gt"
+        out["flow"] = np.stack([f[key][:n] for f in frames]).astype(np.float32)
+    if cfg.variant == Variant.SEG:
+        out["fg_mask"] = np.stack(
+            [f["s_fg_mask"][:n] for f in frames]
+        ).astype(np.float32)
+    if cfg.variant == Variant.SSF:
+        out["static_mask"] = np.stack(
+            [f["static_mask"][:n].astype(bool) for f in frames]
+        )
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def run_sequence(frames: list, cfg: PipelineConfig,
+                 flow_key: Optional[str] = None):
+    """End-to-end: frames -> trajectory dict (host convenience wrapper)."""
+    scans = stack_scans(frames, cfg, flow_key)
+    state = init_slam_state(cfg)
+    state, outs = run_sequence_scan(state, scans, cfg)
+    return state, {k: np.asarray(v) for k, v in outs.items()}

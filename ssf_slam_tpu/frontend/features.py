@@ -78,9 +78,18 @@ def _row_sorted_curvature(
 
     Implements the 11-point second-difference energy of
     src/frameFeature.cpp:84-107 as masked shifts over a (row, index)-sorted
-    view. Returns [N] curvature in ORIGINAL point order; points whose window
-    leaves the row (or hits padding) get 0 — matching the reference's
-    uninitialized-edge behavior (see module docstring).
+    view, with two upgrades over the reference:
+    - occlusion awareness: window neighbors across a large range jump
+      (different surface) are EXCLUDED rather than summed — the reference's
+      raw window rejects every point of a surface narrower than 11 samples
+      (e.g. a far facade seen through a gap), silently starving whole
+      translation axes of planar constraints;
+    - count normalization: the second-difference energy is rescaled to the
+      full-window equivalent, so partially-valid windows use the same
+      curvature threshold.
+    Windows with < halfwin valid neighbors get +inf (not plane candidates;
+    the reference passes its uncomputed row-edge points instead — a gate
+    artifact that admits arbitrary edge points).
     """
     n = xyz.shape[0]
     # stable sort by row; invalid points pushed to the end
@@ -89,18 +98,25 @@ def _row_sorted_curvature(
     inv_order = jnp.argsort(order)
     sx = xyz[order]
     srow = key[order]
+    srange = jnp.linalg.norm(sx, axis=-1)
 
-    win = 2 * halfwin  # number of neighbor terms
-    acc = -float(win) * sx
-    window_ok = jnp.ones((n,), dtype=bool)
+    win = 2 * halfwin  # full-window neighbor count
+    acc = jnp.zeros_like(sx)
+    count = jnp.zeros((n,), dtype=jnp.float32)
     for d in range(1, halfwin + 1):
         for sgn in (-1, 1):
             sh = jnp.roll(sx, -sgn * d, axis=0)
             shrow = jnp.roll(srow, -sgn * d, axis=0)
-            acc = acc + sh
-            window_ok = window_ok & (shrow == srow)
-    curv = jnp.sum(acc * acc, axis=-1)
-    curv = jnp.where(window_ok, curv, 0.0)
+            shrange = jnp.roll(srange, -sgn * d, axis=0)
+            same_surface = (shrow == srow) & (
+                jnp.abs(shrange - srange) < 0.3 + 0.1 * srange
+            )
+            w = same_surface.astype(sx.dtype)
+            acc = acc + (sh - sx) * w[:, None]
+            count = count + w
+    scale = win / jnp.maximum(count, 1.0)
+    curv = jnp.sum(acc * acc, axis=-1) * scale * scale
+    curv = jnp.where(count >= halfwin, curv, jnp.inf)
     return curv[inv_order]
 
 

@@ -1,0 +1,277 @@
+"""Keyframe pose-graph mapping back-end.
+
+TPU-native replacement for the mapOptmization ROS node
+(src/mapOptmization.cpp): keyframe gating (:128-144), keyframe bookkeeping
+(:82-112), loop-closure detection by radius + time separation (:168-198),
+submap extraction (:201-223), ICP loop registration (:240-277), pose-graph
+optimization (:280-293), pose history correction (:315-332).
+
+TPU-first restructuring: the node's dynamic containers (pcl clouds of
+keyposes, std::vector of keyframes, std::map of loop pairs) become
+preallocated HBM-resident buffers with write cursors inside a single pytree
+``MapState``; the per-event control flow (keyframe? loop candidate? ICP
+accepted?) becomes nested ``lax.cond`` so a jitted per-scan step stays a
+static graph while only executing the taken branch at runtime.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ssf_slam_tpu.config import MappingConfig
+from ssf_slam_tpu.mapping.posegraph import solve_pose_graph
+from ssf_slam_tpu.ops.icp import icp_point_to_point
+from ssf_slam_tpu.ops.se3 import (
+    matrix_to_quat,
+    pose_between,
+    pose_compose,
+    quat_identity,
+    quat_rotate,
+    quat_to_rpy,
+)
+from ssf_slam_tpu.ops.voxel import voxel_downsample
+
+Array = jax.Array
+
+MAX_LOOPS = 32  # loop-factor buffer; a sequence closing >32 loops is unheard of
+
+
+class MapState(NamedTuple):
+    """All mapping state, preallocated. K = max_keyframes, F = cloud size."""
+
+    kf_q: Array  # [K, 4] optimized keyframe rotations
+    kf_t: Array  # [K, 3] optimized keyframe positions
+    kf_time: Array  # [K]
+    kf_cloud: Array  # [K, F, 3] feature cloud per keyframe (sensor frame)
+    kf_cloud_mask: Array  # [K, F]
+    odom_rel_q: Array  # [K, 4] measured between factor (i-1 -> i)
+    odom_rel_t: Array  # [K, 3]
+    n_kf: Array  # int32 cursor
+    loop_a: Array  # [L] int32
+    loop_b: Array  # [L] int32
+    loop_rel_q: Array  # [L, 4]
+    loop_rel_t: Array  # [L, 3]
+    loop_w: Array  # [L] factor weight (0 = unused slot)
+    n_loops: Array  # int32
+    loop_record_index: Array  # int32 — next kf index allowed to loop-detect
+    adjust_q: Array  # [4] accumulated loop correction (trans_loop_adjust)
+    adjust_t: Array  # [3]
+    cur_q: Array  # [4] current optimized map pose (T_map_0_curr)
+    cur_t: Array  # [3]
+
+
+def init_map_state(
+    max_keyframes: int, cloud_size: int, dtype=jnp.float32
+) -> MapState:
+    k, f, l = max_keyframes, cloud_size, MAX_LOOPS
+    qid = quat_identity(dtype)
+    return MapState(
+        kf_q=jnp.tile(qid, (k, 1)),
+        kf_t=jnp.zeros((k, 3), dtype),
+        kf_time=jnp.zeros((k,), dtype),
+        kf_cloud=jnp.zeros((k, f, 3), dtype),
+        kf_cloud_mask=jnp.zeros((k, f), bool),
+        odom_rel_q=jnp.tile(qid, (k, 1)),
+        odom_rel_t=jnp.zeros((k, 3), dtype),
+        n_kf=jnp.int32(0),
+        loop_a=jnp.zeros((l,), jnp.int32),
+        loop_b=jnp.zeros((l,), jnp.int32),
+        loop_rel_q=jnp.tile(qid, (l, 1)),
+        loop_rel_t=jnp.zeros((l, 3), dtype),
+        loop_w=jnp.zeros((l,), dtype),
+        n_loops=jnp.int32(0),
+        loop_record_index=jnp.int32(0),
+        adjust_q=qid,
+        adjust_t=jnp.zeros(3, dtype),
+        cur_q=qid,
+        cur_t=jnp.zeros(3, dtype),
+    )
+
+
+def _is_keyframe(state: MapState, q, t, cfg: MappingConfig) -> Array:
+    """Motion gate vs the previous keyframe (mapOptmization.cpp:128-144)."""
+    last = state.n_kf - 1
+    rel_q, rel_t = pose_between(
+        (state.kf_q[last], state.kf_t[last]), (q, t)
+    )
+    roll, pitch, yaw = quat_to_rpy(rel_q)
+    small = (
+        (jnp.abs(roll) < cfg.keyframe_rot_gate)
+        & (jnp.abs(pitch) < cfg.keyframe_rot_gate)
+        & (jnp.abs(yaw) < cfg.keyframe_rot_gate)
+        & (jnp.linalg.norm(rel_t) < cfg.keyframe_trans_gate)
+    )
+    return (state.n_kf == 0) | ~small
+
+
+def _detect_loop(state: MapState, idx, q, t, cfg: MappingConfig):
+    """Nearest historic keyframe within radius with enough time separation.
+
+    mapOptmization.cpp:168-198: radiusSearch(15 m) sorted by distance, first
+    hit with |dt| > 20 s wins.
+    """
+    k = state.kf_t.shape[0]
+    j = jnp.arange(k)
+    dist = jnp.linalg.norm(state.kf_t - t[None], axis=-1)
+    tgap = jnp.abs(state.kf_time - state.kf_time[idx])
+    ok = (
+        (j < idx)
+        & (dist < cfg.loop_search_radius)
+        & (tgap > cfg.loop_time_gap)
+    )
+    cand = jnp.argmin(jnp.where(ok, dist, jnp.inf)).astype(jnp.int32)
+    return jnp.any(ok), cand
+
+
+def _build_submap(
+    state: MapState, center: Array, halfwidth: int, out_points: int,
+    voxel_leaf: float,
+):
+    """Aggregate +-halfwidth keyframe clouds around ``center`` in map frame.
+
+    mapOptmization.cpp:201-223 + the 0.1 m ICP voxel filter (:461). Output is
+    a fixed budget: voxel-representative points get a pseudo-random priority
+    so the subsample is spatially uniform, not biased to early keyframes.
+    """
+    f = state.kf_cloud.shape[1]
+    offs = jnp.arange(-halfwidth, halfwidth + 1)
+    ks = center + offs
+    valid_k = (ks >= 0) & (ks < state.n_kf)
+    ks = jnp.clip(ks, 0, state.kf_cloud.shape[0] - 1)
+    clouds = state.kf_cloud[ks]  # [W, F, 3]
+    masks = state.kf_cloud_mask[ks] & valid_k[:, None]
+    qs, ts = state.kf_q[ks], state.kf_t[ks]
+    world = quat_rotate(qs[:, None, :], clouds) + ts[:, None, :]
+    pts = world.reshape(-1, 3)
+    mask = masks.reshape(-1)
+    pts, mask = voxel_downsample(pts, voxel_leaf, mask)
+    # fixed-budget spatially-fair subsample
+    n = pts.shape[0]
+    prio = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)) >> 12
+    score = jnp.where(mask, prio.astype(jnp.int32), -1)
+    _, sel = jax.lax.top_k(score, min(out_points, n))
+    return pts[sel], mask[sel]
+
+
+def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
+    """ICP the current keyframe against the candidate submap; on success
+    append a loop factor and run the batch pose-graph solve."""
+    found, cand = _detect_loop(state, idx, state.kf_q[idx], state.kf_t[idx], cfg)
+    # detection attempt consumes the 2-frame skip (mapOptmization.cpp:196)
+    state = state._replace(
+        loop_record_index=jnp.where(
+            found, idx + cfg.loop_skip_after_detect, state.loop_record_index
+        )
+    )
+
+    def attempt(state):
+        src = quat_rotate(state.kf_q[idx][None], state.kf_cloud[idx]) + state.kf_t[idx][None]
+        src_mask = state.kf_cloud_mask[idx]
+        tgt, tgt_mask = _build_submap(
+            state, cand, cfg.loop_submap_halfwidth, cfg.submap_points,
+            cfg.icp_voxel_leaf,
+        )
+        r, t_corr, fitness = icp_point_to_point(
+            src, tgt, src_mask, tgt_mask,
+            max_corr_dist=cfg.icp_max_corr_dist, iters=cfg.icp_iters,
+        )
+        accept = fitness < cfg.icp_fitness_gate
+
+        def close(state):
+            corr = (matrix_to_quat(r), t_corr)
+            pose_cur = (state.kf_q[idx], state.kf_t[idx])
+            pose_corrected = pose_compose(corr, pose_cur)  # tCorrect (:260)
+            pose_pre = (state.kf_q[cand], state.kf_t[cand])
+            rel_q, rel_t = pose_between(pose_corrected, pose_pre)
+            li = state.n_loops
+            w = 1.0 / jnp.maximum(fitness, 1e-6)
+            # trans_loop_adjust accumulates the ICP correction (:327,450)
+            adj_q, adj_t = pose_compose(corr, (state.adjust_q, state.adjust_t))
+            state = state._replace(
+                loop_a=state.loop_a.at[li].set(idx),
+                loop_b=state.loop_b.at[li].set(cand),
+                loop_rel_q=state.loop_rel_q.at[li].set(rel_q),
+                loop_rel_t=state.loop_rel_t.at[li].set(rel_t),
+                loop_w=state.loop_w.at[li].set(w),
+                n_loops=li + 1,
+                loop_record_index=state.loop_record_index
+                + cfg.loop_skip_after_close,
+                adjust_q=adj_q,
+                adjust_t=adj_t,
+            )
+            # batch GN over the whole graph (replaces iSAM2 update storm :280-293)
+            active = jnp.arange(state.kf_q.shape[0]) < state.n_kf
+            new_q, new_t = solve_pose_graph(
+                state.kf_q, state.kf_t, active,
+                state.odom_rel_q, state.odom_rel_t,
+                state.loop_a, state.loop_b,
+                state.loop_rel_q, state.loop_rel_t, state.loop_w,
+                odom_w_rot=1.0 / cfg.odom_rot_var,
+                odom_w_trans=1.0 / cfg.odom_trans_var,
+                iters=cfg.posegraph_gn_iters,
+            )
+            return state._replace(kf_q=new_q, kf_t=new_t)
+
+        return jax.lax.cond(accept, close, lambda s: s, state)
+
+    return jax.lax.cond(found, attempt, lambda s: s, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mapping_step(
+    state: MapState,
+    odom_q: Array,
+    odom_t: Array,
+    cloud_xyz: Array,
+    cloud_mask: Array,
+    time: Array,
+    cfg: MappingConfig = MappingConfig(),
+) -> tuple[MapState, dict]:
+    """Process one odometry frame + feature cloud.
+
+    Args mirror the node's two subscriptions (/frame_odom2 +
+    /plane_frame_cloud2, mapOptmization.cpp:473-474); returns the new state
+    and {pose_q, pose_t, is_keyframe} (the /map_odom_res3 output, which also
+    feeds the TUM trajectory writer :353-374).
+    """
+    # loop-corrected map pose (T_map_0_curr = trans_loop_adjust * T_fodom, :450)
+    q, t = pose_compose((state.adjust_q, state.adjust_t), (odom_q, odom_t))
+    is_kf = _is_keyframe(state, q, t, cfg)
+
+    def add_keyframe(state):
+        idx = state.n_kf
+        prev = jnp.maximum(idx - 1, 0)
+        rel_q, rel_t = pose_between(
+            (state.kf_q[prev], state.kf_t[prev]), (q, t)
+        )
+        state = state._replace(
+            kf_q=state.kf_q.at[idx].set(q),
+            kf_t=state.kf_t.at[idx].set(t),
+            kf_time=state.kf_time.at[idx].set(time),
+            kf_cloud=state.kf_cloud.at[idx].set(cloud_xyz),
+            kf_cloud_mask=state.kf_cloud_mask.at[idx].set(cloud_mask),
+            odom_rel_q=state.odom_rel_q.at[idx].set(rel_q),
+            odom_rel_t=state.odom_rel_t.at[idx].set(rel_t),
+            n_kf=idx + 1,
+        )
+        may_loop = (
+            (state.n_kf >= cfg.loop_min_keyframes)
+            & (idx > state.loop_record_index)
+            & (state.n_loops < MAX_LOOPS)
+        )
+        state = jax.lax.cond(
+            may_loop, lambda s: _try_close_loop(s, idx, cfg), lambda s: s, state
+        )
+        # current pose = this keyframe's (possibly re-optimized) pose
+        return state._replace(
+            cur_q=state.kf_q[idx], cur_t=state.kf_t[idx]
+        )
+
+    state = jax.lax.cond(is_kf, add_keyframe,
+                         lambda s: s._replace(cur_q=q, cur_t=t), state)
+    outputs = dict(pose_q=state.cur_q, pose_t=state.cur_t, is_keyframe=is_kf)
+    return state, outputs

@@ -130,11 +130,14 @@ def fit_ring_diverse_planes(
     coplanar = jnp.max(proj, axis=1) <= cfg.coplanar_max
 
     # distance gate: farthest point actually used in the fit must be within
-    # max_fit_dist. The reference code gates on the n-th *neighbor* (cpp:207),
-    # but its stated intent ("若5点中最远的点小于1米") is the farthest USED
-    # point — which is also the well-posed form at CARLA's 8192-pt density.
+    # the (range-adaptive) limit. The reference code gates on the n-th
+    # *neighbor* (cpp:207), but its stated intent ("若5点中最远的点小于1米")
+    # is the farthest USED point — and an absolute limit starves far-field
+    # observability (see OdometryConfig.range_gate_factor).
     del gate_dist
-    within = jnp.max(used_dist, axis=1) < cfg.max_fit_dist**2
+    rng_pt = jnp.linalg.norm(cloud.xyz, axis=-1)
+    limit = jnp.maximum(cfg.max_fit_dist, cfg.range_gate_factor * rng_pt)
+    within = jnp.max(used_dist, axis=1) < limit**2
 
     # conditioning: the 5 points must spread in two directions, or the normal
     # is arbitrary. The reference gets this implicitly from ring diversity;
@@ -160,6 +163,7 @@ def scan_to_scan(
     init_q: Array,
     init_t: Array,
     cfg: OdometryConfig = OdometryConfig(),
+    curr_planes: PlaneModel | None = None,
 ) -> tuple[Array, Array, Array]:
     """Estimate T_last_curr: p_last = R(q) p_curr + t.
 
@@ -168,33 +172,99 @@ def scan_to_scan(
       last_planes: precomputed ``fit_ring_diverse_planes(last)``.
       init_q, init_t: warm start (the previous frame-to-frame motion — the
         reference reuses para_q/para_t across frames, cpp:62-63).
+      curr_planes: optional normals of the CURRENT cloud. When given,
+        association is normal-compatible: each current point matches the
+        nearest last-frame plane whose normal aligns with its own. This is
+        the robustness upgrade over the reference's bare 1-NN seed (cpp:168):
+        at highway-speed inter-frame motion (> feature spacing) bare NN pairs
+        wall points with ground planes, whose vertical normals exert no pull
+        along the motion, and the solve stalls near its init.
 
     Returns:
       (q [4], t [3], n_inliers scalar) — matching the reference's constant
       -velocity warm-started Ceres solve.
     """
     po = curr.xyz
+    last_valid = last.mask & last_planes.valid
+
+    if cfg.bev_init:
+        # global (yaw, dx, dy) init (see odometry/bev_init.py) — the GN below
+        # is a local method; this makes the per-frame solve globally
+        # convergent regardless of warm-start quality
+        from ssf_slam_tpu.odometry.bev_init import bev_pose_init
+        from ssf_slam_tpu.ops.se3 import quat_from_rpy
+
+        rotated = quat_rotate(init_q[None], po)
+        dyaw, shift = bev_pose_init(rotated, curr.mask, last.xyz, last.mask)
+        zero = jnp.zeros_like(dyaw)
+        init_q = quat_multiply(quat_from_rpy(zero, zero, dyaw), init_q)
+        init_t = jnp.array([shift[0], shift[1], init_t[2]])
 
     def associate(q, t):
         warped = quat_rotate(q[None], po) + t[None]
-        _, seed = nearest_neighbor(warped, last.xyz, points_mask=last.mask)
+        if curr_planes is None:
+            d_seed, seed = nearest_neighbor(
+                warped, last.xyz, points_mask=last_valid
+            )
+        else:
+            d, cand = knn(
+                warped, last.xyz, cfg.assoc_neighbors, points_mask=last_valid
+            )  # [F, A]
+            n_c = quat_rotate(q[None], curr_planes.normal)  # rotated normals
+            n_l = last_planes.normal[cand]  # [F, A, 3]
+            align = jnp.abs(jnp.einsum("fc,fac->fa", n_c, n_l, precision=GEOM))
+            # no own normal -> plain nearest (no penalty)
+            align = jnp.where(curr_planes.valid[:, None], align, 1.0)
+            score = d + cfg.assoc_normal_penalty * (1.0 - align)
+            j = jnp.argmin(score, axis=-1)
+            seed = jnp.take_along_axis(cand, j[:, None], axis=-1)[:, 0]
+            d_seed = jnp.take_along_axis(d, j[:, None], axis=-1)[:, 0]
         pa = last.xyz[seed]
         nrm = last_planes.normal[seed]
-        w_valid = curr.mask & last_planes.valid[seed]
+        # Correspondence-distance gate: a current point whose nearest USABLE
+        # plane is far has no true counterpart (occlusion, mover, or a
+        # surface whose planes all failed the fit gates) — it must be
+        # dropped, not matched to whatever is nearest (a surface 10 m away
+        # otherwise pulls the solve with full weight).
+        w_valid = (
+            curr.mask
+            & last_valid[seed]
+            & (d_seed < cfg.assoc_max_dist**2)
+        )
         return pa, nrm, w_valid
+
+    # Range-dependent measurement noise: plane-fit error and association
+    # ambiguity grow with range, while the rotation Jacobian's lever arm
+    # grows quadratically in H — unweighted far points dominate the rotation
+    # block and a small yaw error slings them into wrong associations that
+    # drag the solve away (observed: warm start 8 cm from truth marching to
+    # -1 m). sigma ~ sigma0 * (1 + (r/r0)^2) caps that leverage.
+    rng_pt = jnp.linalg.norm(po, axis=-1)
+    w_range = 1.0 / (1.0 + (rng_pt / cfg.range_sigma_scale) ** 2)
 
     def gn_iteration(_, carry):
         q, t, pa, nrm, w_valid = carry
         u = quat_rotate(q[None], po)  # rotated current points
         r = jnp.einsum("fc,fc->f", u + t[None] - pa, nrm, precision=GEOM)
-        w = _huber_weight(r, cfg.huber_delta) * w_valid.astype(r.dtype)
+        w = (
+            _huber_weight(r, cfg.huber_delta)
+            * w_range
+            * w_valid.astype(r.dtype)
+        )
         # J = [u x n, n] for left perturbation R <- exp(w^)R
         j_rot = jnp.cross(u, nrm)
         jac = jnp.concatenate([j_rot, nrm], axis=-1)  # [F, 6]
         h = jnp.einsum("fi,fj->ij", jac * w[:, None], jac, precision=GEOM)
         g = jnp.einsum("fi,f->i", jac, w * r, precision=GEOM)
-        h = h + 1e-6 * jnp.eye(6, dtype=h.dtype)
+        # Levenberg damping stabilizes the weakly-observed directions
+        h = h + cfg.lm_lambda * jnp.diag(jnp.diagonal(h)) + 1e-6 * jnp.eye(6, dtype=h.dtype)
         delta = -jnp.linalg.solve(h, g)
+        # trust region: one association is only valid locally; large jumps
+        # must be re-associated before being trusted
+        delta = jnp.concatenate([
+            jnp.clip(delta[:3], -cfg.max_rot_step, cfg.max_rot_step),
+            jnp.clip(delta[3:], -cfg.max_trans_step, cfg.max_trans_step),
+        ])
         dq = so3_exp_quat(delta[:3])
         q = quat_normalize(quat_multiply(dq, q))
         t = t + delta[3:]

@@ -162,6 +162,21 @@ def so3_exp_quat(w: Array) -> Array:
     return jnp.concatenate([xyz, qw[..., None]], axis=-1)
 
 
+def so3_log_quat(q: Array) -> Array:
+    """Unit quaternion -> so(3) vector (inverse of so3_exp_quat).
+
+    Small-angle-safe; sign-canonicalized so the geodesic is the short way.
+    """
+    q = q * jnp.sign(jnp.where(q[..., 3:4] == 0, 1.0, q[..., 3:4]))
+    xyz = q[..., :3]
+    w = jnp.clip(q[..., 3], -1.0, 1.0)
+    s = jnp.linalg.norm(xyz, axis=-1)
+    half = jnp.arctan2(s, w)
+    # w = 2*half / sin(half) with series fallback
+    k = jnp.where(s > 1e-8, 2.0 * half / jnp.maximum(s, 1e-24), 2.0 / jnp.maximum(w, 1e-8))
+    return xyz * k[..., None]
+
+
 # ----------------------------------------------------------------------------
 # Pose = (q [...,4], t [...,3])
 # ----------------------------------------------------------------------------

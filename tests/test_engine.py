@@ -1,0 +1,102 @@
+"""Closed-loop integration tests: synthetic sequence -> trajectory -> ATE."""
+
+import numpy as np
+import pytest
+
+from ssf_slam_tpu.config import (
+    FeatureConfig,
+    MappingConfig,
+    PipelineConfig,
+    Variant,
+)
+from ssf_slam_tpu.data.synthetic import generate_sequence
+from ssf_slam_tpu.engine import ate_rmse, run_sequence, write_tum, read_tum
+
+SMALL_MAP = MappingConfig(max_keyframes=64, submap_points=2048, icp_iters=10,
+                          loop_submap_halfwidth=3)
+
+
+def small_cfg(variant: Variant) -> PipelineConfig:
+    return PipelineConfig(
+        variant=variant,
+        features=FeatureConfig(max_features=2048),
+        mapping=SMALL_MAP,
+    )
+
+
+@pytest.fixture(scope="module")
+def seq():
+    # straight-ish drive, no movers: every variant must track it
+    def traj(k):
+        return np.array([1.2 * k, 0.05 * k, 1.8]), 0.04 * k
+
+    return generate_sequence(
+        n_frames=12, n_points=8192, seed=11, noise=0.004, n_moving=0,
+        trajectory=traj,
+    )
+
+
+def true_positions(seq):
+    return np.stack([f["pose1"][1] for f in seq])
+
+
+def rel_truth(seq):
+    # ground truth is the world-frame sensor position; SLAM output is in the
+    # frame of scan 0 -> compare after rigid alignment (ATE convention)
+    return true_positions(seq)
+
+
+@pytest.mark.parametrize("variant", [Variant.SEG, Variant.NO_SEG])
+def test_flow_variants_track_trajectory(seq, variant):
+    cfg = small_cfg(variant)
+    state, outs = run_sequence(seq, cfg)
+    ate = ate_rmse(outs["pose_t"], rel_truth(seq))
+    assert ate < 0.05, f"{variant}: ATE {ate:.3f} m"
+
+
+def test_onlypc_tracks_trajectory(seq):
+    cfg = small_cfg(Variant.ONLY_PC)
+    state, outs = run_sequence(seq, cfg)
+    ate = ate_rmse(outs["pose_t"], rel_truth(seq))
+    assert ate < 0.25, f"onlyPC: ATE {ate:.3f} m"
+
+
+def test_seg_variant_with_movers():
+    def traj(k):
+        return np.array([1.0 * k, 0.0, 1.8]), 0.0
+
+    seq = generate_sequence(
+        n_frames=10, n_points=8192, seed=13, noise=0.004, n_moving=4,
+        trajectory=traj,
+    )
+    cfg = small_cfg(Variant.SEG)
+    state, outs = run_sequence(seq, cfg)
+    ate = ate_rmse(outs["pose_t"], true_positions(seq))
+    assert ate < 0.05, f"SEG with movers: ATE {ate:.3f} m"
+
+    # noSeg (GMM) must also reject the movers
+    cfg = small_cfg(Variant.NO_SEG)
+    state, outs = run_sequence(seq, cfg)
+    ate = ate_rmse(outs["pose_t"], true_positions(seq))
+    assert ate < 0.08, f"noSeg with movers: ATE {ate:.3f} m"
+
+
+def test_ssf_variant_with_provided_mask(seq):
+    # SSF path with an oracle static mask (stands in for the seg net)
+    for f in seq:
+        f["static_mask"] = f["s_fg_mask"] < 0.5
+    cfg = small_cfg(Variant.SSF)
+    state, outs = run_sequence(seq, cfg)
+    ate = ate_rmse(outs["pose_t"], rel_truth(seq))
+    assert ate < 0.05
+
+
+def test_tum_roundtrip(tmp_path, seq):
+    cfg = small_cfg(Variant.SEG)
+    state, outs = run_sequence(seq, cfg)
+    path = str(tmp_path / "traj.tum")
+    times = [f["time"] for f in seq]
+    write_tum(path, times, outs["pose_t"], outs["pose_q"])
+    t, p, q = read_tum(path)
+    np.testing.assert_allclose(p, outs["pose_t"], atol=1e-5)
+    assert q.shape == (len(seq), 4)

@@ -1,0 +1,203 @@
+"""Mapping back-end tests: ICP, pose graph, keyframe state machine."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssf_slam_tpu.config import MappingConfig
+from ssf_slam_tpu.mapping import init_map_state, mapping_step, solve_pose_graph
+from ssf_slam_tpu.ops.icp import icp_point_to_point
+from ssf_slam_tpu.ops.se3 import (
+    quat_from_rpy,
+    quat_identity,
+    quat_multiply,
+    quat_rotate,
+    so3_exp_quat,
+)
+
+SMALL = MappingConfig(
+    max_keyframes=32,
+    submap_points=2048,
+    icp_iters=15,
+    loop_submap_halfwidth=3,
+)
+
+
+def test_icp_recovers_offset():
+    rng = np.random.default_rng(0)
+    # structured scene: two walls + ground patch (full 6-DoF constraint)
+    a = rng.uniform([-10, -10, 0], [10, 10, 0.01], (800, 3))
+    b = rng.uniform([-10, -0.01, 0], [10, 0.01, 8], (500, 3))
+    c = rng.uniform([-0.01, -10, 0], [0.01, 10, 8], (500, 3))
+    tgt = np.concatenate([a, b, c]).astype(np.float32)
+    yaw = 0.05
+    cz, sz = np.cos(yaw), np.sin(yaw)
+    r_true = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], np.float32)
+    t_true = np.array([0.4, -0.3, 0.1], np.float32)
+    # source = inverse-transformed target: r @ src + t = tgt
+    src = (tgt - t_true) @ r_true
+    r, t, fit = icp_point_to_point(
+        jnp.asarray(src), jnp.asarray(tgt),
+        jnp.ones(len(src), bool), jnp.ones(len(tgt), bool),
+        max_corr_dist=5.0, iters=20,
+    )
+    np.testing.assert_allclose(np.asarray(r), r_true, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=2e-2)
+    assert float(fit) < 0.05
+
+
+def _chain_poses(n, step_t, step_yaw):
+    """Compose a chain of identical relative motions."""
+    qs, ts = [quat_identity()], [jnp.zeros(3)]
+    rel_q = quat_from_rpy(jnp.float32(0), jnp.float32(0), jnp.float32(step_yaw))
+    for _ in range(n - 1):
+        q = quat_multiply(qs[-1], rel_q)
+        t = ts[-1] + quat_rotate(qs[-1], jnp.asarray(step_t))
+        qs.append(q)
+        ts.append(t)
+    return jnp.stack(qs), jnp.stack(ts)
+
+
+def test_pose_graph_loop_correction():
+    """A drifted chain with a loop factor back to node 0 must snap closed."""
+    n, k = 12, 16
+    true_q, true_t = _chain_poses(n, np.array([1.0, 0, 0], np.float32), 2 * np.pi / n)
+    # odometry measurements: true relative motion (perfect odometry)
+    rel_q_list = [quat_identity()]
+    rel_t_list = [jnp.zeros(3)]
+    for i in range(1, n):
+        from ssf_slam_tpu.ops.se3 import pose_between
+
+        rq, rt = pose_between((true_q[i - 1], true_t[i - 1]), (true_q[i], true_t[i]))
+        rel_q_list.append(rq)
+        rel_t_list.append(rt)
+
+    # corrupt the estimate: accumulate drift on nodes 6+
+    drift = so3_exp_quat(jnp.array([0, 0, 0.1]))
+    est_q = true_q.at[6:].set(quat_multiply(drift[None], true_q[6:]))
+    est_t = true_t.at[6:].add(jnp.array([0.8, -0.5, 0.2]))
+
+    pad_q = jnp.tile(quat_identity(), (k, 1))
+    pad_t = jnp.zeros((k, 3))
+    q0 = pad_q.at[:n].set(est_q)
+    t0 = pad_t.at[:n].set(est_t)
+    orq = pad_q.at[:n].set(jnp.stack(rel_q_list))
+    ort = pad_t.at[:n].set(jnp.stack(rel_t_list))
+    active = jnp.arange(k) < n
+
+    # loop factor: node n-1 relative to node 0 at the TRUE relative pose
+    from ssf_slam_tpu.ops.se3 import pose_between
+
+    lq, lt = pose_between((true_q[n - 1], true_t[n - 1]), (true_q[0], true_t[0]))
+    loop_a = jnp.zeros(4, jnp.int32).at[0].set(n - 1)
+    loop_b = jnp.zeros(4, jnp.int32)
+    loop_rel_q = jnp.tile(quat_identity(), (4, 1)).at[0].set(lq)
+    loop_rel_t = jnp.zeros((4, 3)).at[0].set(lt)
+    loop_w = jnp.zeros(4).at[0].set(100.0)
+
+    new_q, new_t = solve_pose_graph(
+        q0, t0, active, orq, ort, loop_a, loop_b, loop_rel_q, loop_rel_t,
+        loop_w, iters=10,
+    )
+    err_t = np.abs(np.asarray(new_t[:n]) - np.asarray(true_t)).max()
+    assert err_t < 0.05, f"pose graph left {err_t} translation error"
+    qdot = np.abs(np.sum(np.asarray(new_q[:n]) * np.asarray(true_q), axis=-1))
+    assert qdot.min() > 1 - 1e-4
+
+
+def test_pose_graph_without_loops_keeps_chain():
+    n, k = 6, 8
+    true_q, true_t = _chain_poses(n, np.array([1.0, 0.2, 0], np.float32), 0.1)
+    rel_q = [quat_identity()]
+    rel_t = [jnp.zeros(3)]
+    from ssf_slam_tpu.ops.se3 import pose_between
+
+    for i in range(1, n):
+        rq, rt = pose_between((true_q[i - 1], true_t[i - 1]), (true_q[i], true_t[i]))
+        rel_q.append(rq)
+        rel_t.append(rt)
+    q0 = jnp.tile(quat_identity(), (k, 1)).at[:n].set(true_q)
+    t0 = jnp.zeros((k, 3)).at[:n].set(true_t)
+    new_q, new_t = solve_pose_graph(
+        q0, t0, jnp.arange(k) < n,
+        jnp.tile(quat_identity(), (k, 1)).at[:n].set(jnp.stack(rel_q)),
+        jnp.zeros((k, 3)).at[:n].set(jnp.stack(rel_t)),
+        jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
+        jnp.tile(quat_identity(), (2, 1)), jnp.zeros((2, 3)), jnp.zeros(2),
+        iters=5,
+    )
+    np.testing.assert_allclose(np.asarray(new_t[:n]), np.asarray(true_t), atol=1e-4)
+
+
+def test_mapping_step_keyframe_gating():
+    cloud = jnp.asarray(
+        np.random.default_rng(0).uniform(-10, 10, (256, 3)), jnp.float32
+    )
+    mask = jnp.ones(256, bool)
+    state = init_map_state(SMALL.max_keyframes, 256)
+    qid = quat_identity()
+
+    # frame 0 always becomes a keyframe
+    state, out = mapping_step(state, qid, jnp.zeros(3), cloud, mask,
+                              jnp.float32(0.0), SMALL)
+    assert bool(out["is_keyframe"]) and int(state.n_kf) == 1
+    # tiny motion -> no keyframe
+    state, out = mapping_step(state, qid, jnp.array([0.1, 0, 0.0]), cloud,
+                              mask, jnp.float32(0.1), SMALL)
+    assert not bool(out["is_keyframe"]) and int(state.n_kf) == 1
+    np.testing.assert_allclose(np.asarray(out["pose_t"]), [0.1, 0, 0], atol=1e-6)
+    # 1.5 m motion -> keyframe
+    state, out = mapping_step(state, qid, jnp.array([1.5, 0, 0.0]), cloud,
+                              mask, jnp.float32(0.2), SMALL)
+    assert bool(out["is_keyframe"]) and int(state.n_kf) == 2
+    np.testing.assert_allclose(np.asarray(state.kf_t[1]), [1.5, 0, 0], atol=1e-6)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_mapping_closes_loop_on_revisit():
+    """Drifted odometry revisiting the start must trigger ICP + correction."""
+    rng = np.random.default_rng(1)
+    # world cloud: box corner geometry for ICP stability
+    a = rng.uniform([-15, -15, -0.05], [15, 15, 0.05], (400, 3))
+    b = rng.uniform([-15, 14.9, 0], [15, 15.1, 6], (300, 3))
+    c = rng.uniform([14.9, -15, 0], [15.1, 15, 6], (300, 3))
+    world = np.concatenate([a, b, c]).astype(np.float32)
+
+    # radius/time gates scaled to this miniature 40 m loop: only the true
+    # revisit (frame 20 near frame 0) may qualify
+    cfg = MappingConfig(
+        max_keyframes=32, submap_points=2048, icp_iters=20,
+        loop_submap_halfwidth=3, loop_search_radius=4.0, loop_time_gap=5.0,
+        loop_min_keyframes=4,
+    )
+    state = init_map_state(cfg.max_keyframes, len(world))
+    mask = jnp.ones(len(world), bool)
+
+    # square loop trajectory, 2 m steps; drift injected on the way
+    n_side = 5
+    waypoints = []
+    for s, d in (((0, 0), (2, 0)), ((10, 0), (0, 2)), ((10, 10), (-2, 0)),
+                 ((0, 10), (0, -2))):
+        for i in range(n_side):
+            waypoints.append(np.array([s[0] + d[0] * i, s[1] + d[1] * i, 0.0]))
+    waypoints.append(np.array([0.0, 0.0, 0.0]))  # revisit start
+
+    drift = np.array([0.04, -0.03, 0.0], np.float32)  # per-step odom drift
+    qid = quat_identity()
+    closed = False
+    for k, w in enumerate(waypoints):
+        true_t = w.astype(np.float32)
+        odom_t = true_t + drift * k
+        # keyframe cloud: world seen from the TRUE pose (identity rotation)
+        cloud = jnp.asarray(world - true_t)
+        state, out = mapping_step(
+            state, qid, jnp.asarray(odom_t), cloud, mask,
+            jnp.float32(k * 1.0), cfg,
+        )
+        if int(state.n_loops) > 0:
+            closed = True
+    assert closed, "no loop closure fired on revisit"
+    # after closure the final pose must be pulled toward the true position
+    final_err = np.linalg.norm(np.asarray(state.cur_t) - waypoints[-1])
+    drift_err = np.linalg.norm(drift * (len(waypoints) - 1))
+    assert final_err < drift_err * 0.5, (final_err, drift_err)
