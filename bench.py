@@ -1,0 +1,100 @@
+"""Headline benchmark: full SSF pipeline throughput on one chip.
+
+Measures scans/sec of the fused per-scan step — TFlow scene-flow inference
+(joint flow+seg co-estimation, 8192 points) + static-mask ego-motion SVD +
+feature extraction + keyframe mapping — scanned over a synthetic CARLA-style
+sequence. This is the BASELINE.json north-star configuration; the reference
+pipeline paces the same work at 10 Hz by construction
+(scripts/PointCloudOdometry.py:42).
+
+Prints ONE JSON line:
+    {"metric": "ssf_scans_per_sec", "value": N, "unit": "scans/s",
+     "vs_baseline": N/100}
+(vs_baseline: >= 1.0 meets the >=100 scans/sec/chip target.)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_POINTS = 8192
+N_FRAMES = 32
+
+
+def build_pipeline():
+    from ssf_slam_tpu.config import FlowNetConfig, PipelineConfig, Variant
+    from ssf_slam_tpu.engine.pipeline import init_slam_state, slam_step
+    from ssf_slam_tpu.models import TFlow
+
+    cfg = PipelineConfig(variant=Variant.SSF)
+    net_cfg = FlowNetConfig(npoint=N_POINTS, joint_seg=True)
+    model = TFlow(cfg=net_cfg)
+    rng = jax.random.PRNGKey(0)
+    pc = jnp.zeros((1, N_POINTS, 3))
+    variables = jax.jit(model.init)(rng, pc, pc)
+
+    def fused_step(state, scan):
+        flows, _ = model.apply(variables, scan["pos1"][None],
+                               scan["pos2"][None])
+        out = flows[0][0]
+        slam_scan = dict(
+            points=scan["pos1"],
+            mask=scan["mask"],
+            time=scan["time"],
+            flow=out[:, :3],
+            static_mask=out[:, 3] < 0.0,
+        )
+        return slam_step(state, slam_scan, cfg)
+
+    def run(state, scans):
+        return jax.lax.scan(fused_step, state, scans)
+
+    return cfg, jax.jit(run), init_slam_state(cfg)
+
+
+def main() -> None:
+    from ssf_slam_tpu.data.synthetic import generate_sequence
+
+    frames = generate_sequence(
+        n_frames=N_FRAMES, n_points=N_POINTS, seed=0, noise=0.004, n_moving=4
+    )
+    scans = dict(
+        pos1=jnp.asarray(np.stack([f["pos1"] for f in frames])),
+        pos2=jnp.asarray(np.stack([f["pos2"] for f in frames])),
+        mask=jnp.asarray(np.stack([f["mask1"].astype(bool) for f in frames])),
+        time=jnp.asarray([f["time"] for f in frames], jnp.float32),
+    )
+
+    cfg, run, state0 = build_pipeline()
+
+    # compile + warmup
+    state, outs = run(state0, scans)
+    jax.block_until_ready(outs["pose_t"])
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        state, outs = run(state0, scans)
+        jax.block_until_ready(outs["pose_t"])
+    dt = (time.perf_counter() - t0) / n_rep
+
+    scans_per_sec = N_FRAMES / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ssf_scans_per_sec",
+                "value": round(scans_per_sec, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Command-line interface — the launch-file equivalent.
+
+The reference selects pipelines via roslaunch XML (launch/run_*.launch) with
+DATASET_PATH / RESULT_PATH params; here:
+
+    python -m ssf_slam_tpu.cli run --variant onlypc --synthetic --out traj.tum
+    python -m ssf_slam_tpu.cli run --variant ssf --dataset /data/SF/04 \
+        --ckpt runs/best --out traj.tum
+    python -m ssf_slam_tpu.cli train --synthetic --epochs 5 --ckpt-dir runs
+    python -m ssf_slam_tpu.cli eval-flow --synthetic --ckpt runs/best
+
+Variant names mirror the launch files (SURVEY §1): onlypc, seg, noseg, sf,
+ssf.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load_frames(args) -> list:
+    if args.synthetic:
+        from ssf_slam_tpu.data.synthetic import generate_sequence
+
+        return generate_sequence(
+            n_frames=args.frames, n_points=args.n_points, seed=args.seed,
+            noise=0.004, n_moving=args.n_moving,
+        )
+    from ssf_slam_tpu.data.carla import CarlaSceneFlowDataset
+
+    ds = CarlaSceneFlowDataset(args.dataset, n_points=args.n_points)
+    return [ds[i] for i in range(len(ds))]
+
+
+def _predict_flow(frames: list, args) -> None:
+    """Run TFlow over each frame pair, writing flow (+seg mask) into frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssf_slam_tpu.config import FlowNetConfig
+    from ssf_slam_tpu.models import TFlow
+
+    joint = args.variant == "ssf"
+    cfg = FlowNetConfig(npoint=args.n_points, joint_seg=joint)
+    model = TFlow(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    pc = jnp.zeros((1, args.n_points, 3))
+    variables = jax.jit(model.init)(rng, pc, pc)
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            f"{args.ckpt}",
+            dict(params=variables["params"],
+                 batch_stats=variables.get("batch_stats", {})),
+        )
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+    else:
+        print("WARNING: no --ckpt given; flow net runs with random weights",
+              file=sys.stderr)
+
+    @jax.jit
+    def infer(pc1, pc2):
+        flows, _ = model.apply(variables, pc1, pc2)
+        return flows[0]
+
+    for f in frames:
+        out = infer(jnp.asarray(f["pos1"])[None], jnp.asarray(f["pos2"])[None])
+        out = np.asarray(out[0])
+        f["pred_flow"] = out[:, :3]
+        if joint:
+            f["static_mask"] = out[:, 3] < 0.0  # logit<0 => static
+
+
+def cmd_run(args) -> int:
+    from ssf_slam_tpu.config import PipelineConfig, Variant
+    from ssf_slam_tpu.engine import ate_rmse, run_sequence, write_tum
+
+    variant = Variant(args.variant)
+    cfg = PipelineConfig(variant=variant)
+    frames = _load_frames(args)
+
+    flow_key = None
+    if variant in (Variant.SF, Variant.SSF):
+        _predict_flow(frames, args)
+        flow_key = "pred_flow"
+        if variant == Variant.SSF and "static_mask" not in frames[0]:
+            for f in frames:
+                f["static_mask"] = f["s_fg_mask"] < 0.5
+
+    state, outs = run_sequence(frames, cfg, flow_key=flow_key)
+    times = [f["time"] for f in frames]
+    write_tum(args.out, times, outs["pose_t"], outs["pose_q"])
+    print(f"wrote {len(times)} poses to {args.out}")
+
+    if args.synthetic:
+        true_pos = np.stack([f["pose1"][1] for f in frames])
+        print(f"ATE RMSE vs ground truth: {ate_rmse(outs['pose_t'], true_pos):.4f} m")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from ssf_slam_tpu.config import FlowNetConfig, TrainConfig
+    from ssf_slam_tpu.models import TFlow
+    from ssf_slam_tpu.train import train_scene_flow
+
+    frames = _load_frames(args)
+    split = max(1, int(0.8 * len(frames)))
+    train_frames, eval_frames = frames[:split], frames[split:]
+
+    def to_batches(frs):
+        def gen():
+            rng = np.random.default_rng(0)
+            order = rng.permutation(len(frs))
+            for s in range(0, len(order) - args.batch_size + 1,
+                           args.batch_size):
+                items = [frs[int(i)] for i in order[s:s + args.batch_size]]
+                yield {
+                    k: np.stack([it[k] for it in items])
+                    for k in ("pos1", "pos2", "gt", "s_fg_mask", "mask1")
+                }
+        return gen
+
+    model = TFlow(cfg=FlowNetConfig(npoint=args.n_points,
+                                    joint_seg=args.variant == "ssf"))
+    tcfg = TrainConfig(batch_size=args.batch_size, epochs=args.epochs)
+    state, history = train_scene_flow(
+        model, to_batches(train_frames), to_batches(eval_frames),
+        cfg=tcfg, n_points=args.n_points, epochs=args.epochs,
+        ckpt_dir=args.ckpt_dir,
+    )
+    print("final eval EPE:", history["eval_epe"][-1])
+    return 0
+
+
+def cmd_eval_flow(args) -> int:
+    from ssf_slam_tpu.models.metrics import flow_metrics
+    import jax.numpy as jnp
+
+    frames = _load_frames(args)
+    _predict_flow(frames, args)
+    ms = []
+    for f in frames:
+        m = flow_metrics(
+            jnp.asarray(f["pred_flow"])[None], jnp.asarray(f["gt"])[None],
+            jnp.asarray(f["mask1"].astype(np.float32))[None],
+        )
+        ms.append({k: float(v) for k, v in m.items()})
+    agg = {k: float(np.mean([m[k] for m in ms])) for k in ms[0]}
+    print("EPE3D {epe3d:.4f}  Acc3DS {acc3d_strict:.4f}  "
+          "Acc3DR {acc3d_relax:.4f}  Outlier {outlier:.4f}".format(**agg))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ssf_slam_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--dataset", default=None)
+        sp.add_argument("--synthetic", action="store_true")
+        sp.add_argument("--frames", type=int, default=40)
+        sp.add_argument("--n-points", type=int, default=8192)
+        sp.add_argument("--n-moving", type=int, default=4)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--ckpt", default=None)
+        sp.add_argument(
+            "--variant", default="seg",
+            choices=["onlypc", "seg", "noseg", "sf", "ssf"],
+        )
+
+    sp = sub.add_parser("run", help="run a SLAM pipeline, write TUM trajectory")
+    common(sp)
+    sp.add_argument("--out", default="trajectory.tum")
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("train", help="train the scene-flow net")
+    common(sp)
+    sp.add_argument("--epochs", type=int, default=10)
+    sp.add_argument("--batch-size", type=int, default=4)
+    sp.add_argument("--ckpt-dir", default=None)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval-flow", help="scene-flow EPE metrics")
+    common(sp)
+    sp.set_defaults(fn=cmd_eval_flow)
+
+    args = p.parse_args(argv)
+    if not args.synthetic and args.dataset is None:
+        p.error("need --dataset or --synthetic")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,166 @@
+"""ssfb: native-backed sequence format + loader bindings.
+
+The fast host IO path (see native/loader.cc): sequences are packed into a
+single mmap-able binary file; a native reader thread prefetches frames ahead
+of the consumer through a ring buffer, keeping the TPU feed thread free of
+page-fault stalls. Falls back transparently to the npz path when the shared
+library isn't built (``make -C native``).
+
+Schema matches the CARLA npz frames (utils/datasets/carla.py:455-465):
+pos1/pos2/gt/ego_flow [N,3] float32, s_fg_mask/mask1 [N] float32, time [1].
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_MAGIC = 0x42465353
+_MAX_FIELDS = 8
+_FIELDS = [
+    ("pos1", 3),
+    ("pos2", 3),
+    ("gt", 3),
+    ("ego_flow", 3),
+    ("s_fg_mask", 1),
+    ("mask1", 1),
+    ("time", 1),  # scalar broadcast into n_points floats (slot 0 used)
+]
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                         "libssfb.so")
+_lib = None
+
+
+def _load_lib(build: bool = True):
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = os.path.abspath(_LIB_PATH)
+    if not os.path.exists(path) and build:
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(path)],
+                check=True, capture_output=True,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.ssfb_open.restype = ctypes.c_void_p
+    lib.ssfb_open.argtypes = [ctypes.c_char_p]
+    lib.ssfb_info.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_uint32)
+    ] * 3
+    lib.ssfb_field_index.restype = ctypes.c_int
+    lib.ssfb_field_index.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ssfb_field_dim.restype = ctypes.c_uint32
+    lib.ssfb_field_dim.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ssfb_frame_ptr.restype = ctypes.POINTER(ctypes.c_float)
+    lib.ssfb_frame_ptr.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_int]
+    lib.ssfb_prefetch_start.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_int64]
+    lib.ssfb_next.restype = ctypes.c_int64
+    lib.ssfb_next.argtypes = [ctypes.c_void_p]
+    lib.ssfb_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def write_ssfb(frames: list, path: str) -> None:
+    """Pack a frame-dict sequence (data/synthetic.py schema) into one file."""
+    n_frames = len(frames)
+    n_points = len(frames[0]["pos1"])
+    with open(path, "wb") as f:
+        names = b""
+        dims = []
+        for name, dim in _FIELDS:
+            names += name.encode().ljust(8, b"\0")[:8]
+            dims.append(dim)
+        dims += [0] * (_MAX_FIELDS - len(dims))
+        names += b"\0" * 8 * (_MAX_FIELDS - len(_FIELDS))
+        f.write(
+            struct.pack(
+                f"<5I{_MAX_FIELDS}I", _MAGIC, 1, n_frames, n_points,
+                len(_FIELDS), *dims,
+            )
+        )
+        f.write(names)
+        for fr in frames:
+            for name, dim in _FIELDS:
+                if name == "time":
+                    arr = np.zeros(n_points, np.float32)
+                    arr[0] = np.float32(fr.get("time", 0.0))
+                else:
+                    arr = np.asarray(fr[name], np.float32)
+                    if dim == 1:
+                        arr = arr.reshape(n_points)
+                    else:
+                        arr = arr.reshape(n_points, dim)
+                f.write(arr.tobytes())
+
+
+class SsfbSequence:
+    """Zero-copy mmap'd reader with native prefetch."""
+
+    def __init__(self, path: str):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("libssfb.so unavailable (run make -C native)")
+        self._lib = lib
+        self._h = lib.ssfb_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open {path}")
+        nf, npnt, nfield = (ctypes.c_uint32() for _ in range(3))
+        lib.ssfb_info(self._h, ctypes.byref(nf), ctypes.byref(npnt),
+                      ctypes.byref(nfield))
+        self.n_frames = nf.value
+        self.n_points = npnt.value
+
+    def field(self, frame: int, name: str) -> np.ndarray:
+        idx = self._lib.ssfb_field_index(self._h, name.encode())
+        if idx < 0:
+            raise KeyError(name)
+        dim = self._lib.ssfb_field_dim(self._h, idx)
+        ptr = self._lib.ssfb_frame_ptr(self._h, frame, idx)
+        n = self.n_points * dim
+        arr = np.ctypeslib.as_array(ptr, shape=(n,))
+        return arr.reshape(self.n_points, dim) if dim > 1 else arr
+
+    def frame(self, i: int) -> dict:
+        out = {name: np.array(self.field(i, name))
+               for name, dim in _FIELDS if name != "time"}
+        out["time"] = float(self.field(i, "time")[0])
+        out["mask1"] = out["mask1"] > 0.5
+        return out
+
+    def prefetch_iter(self, start: int = 0, stride: int = 1):
+        """Iterate frames with the native prefetcher running ahead."""
+        self._lib.ssfb_prefetch_start(self._h, start, stride)
+        while True:
+            f = self._lib.ssfb_next(self._h)
+            if f < 0:
+                return
+            yield f, self.frame(int(f))
+
+    def close(self):
+        if self._h:
+            self._lib.ssfb_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,186 @@
+"""Bidirectional attentive cost volume — the heart of TFlow.
+
+TPU-native replacement for ``PointConvTransFlowV2``
+(utils/soflow.py:281-525): point-to-patch correlation of (possibly
+flow-warped) pc1 neighborhoods in pc2, cross-attention between the straight
+and warped neighbor sets, a learned softmax aggregation for the forward cost,
+and a scatter-softmax aggregation pushing the backward cost onto pc2 — the
+torch_scatter ``scatter_softmax``/``scatter_sum`` pair (soflow.py:474-481)
+becomes ``jax.ops.segment_max/segment_sum`` under vmap.
+
+Everything runs channels-last; the QK^T attention and all MLPs are Dense/
+einsum ops on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ssf_slam_tpu.models.layers import LEAKY_RATE, PointMLP
+from ssf_slam_tpu.ops.grouping import group_points
+from ssf_slam_tpu.ops.knn import knn
+
+Array = jax.Array
+
+
+def _segment_softmax_sum(
+    values: Array, weights: Array, ids: Array, num_segments: int
+) -> Array:
+    """Per-segment softmax(weights) applied to values, summed per segment.
+
+    values [M, C], weights [M, 1], ids [M] -> [num_segments, C].
+    Replaces scatter_softmax + scatter_sum (soflow.py:474-481).
+    """
+    w = weights[..., 0]
+    seg_max = jax.ops.segment_max(w, ids, num_segments=num_segments)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    ex = jnp.exp(w - seg_max[ids])
+    denom = jax.ops.segment_sum(ex, ids, num_segments=num_segments)
+    soft = ex / jnp.maximum(denom[ids], 1e-16)
+    return jax.ops.segment_sum(values * soft[:, None], ids,
+                               num_segments=num_segments)
+
+
+class AttentiveCostVolume(nn.Module):
+    """PointConvTransFlowV2 (soflow.py:281-525), channels-last.
+
+    Args mirror the reference constructor: nsample (K), mlp widths (shared by
+    the four MLP stacks), flow_mlp widths, use_flow (warp queries by the
+    coarse flow), out_channels of the flow head (3, or 4 for joint flow+seg
+    co-estimation — add_Seg_after_FLow, soflow.py:343-346).
+    """
+
+    nsample: int
+    mlp: Sequence[int]
+    flow_mlp: Sequence[int]
+    use_flow: bool = True
+    out_channels: int = 3
+    flow_clamp: float = 50.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz1: Array,  # [B, N1, 3]
+        xyz2: Array,  # [B, N2, 3]
+        xyz2w: Array | None,  # [B, N2, 3] warped pc2 (None -> xyz2)
+        points1: Array,  # [B, N1, D]
+        points2: Array,  # [B, N2, D]
+        sf: Array | None = None,  # [B, N1, 3|4] coarse flow
+        sf_feat: Array | None = None,  # [B, N1, Dsf]
+        train: bool = False,
+    ) -> tuple[Array, Array, Array, Array]:
+        b, n1 = xyz1.shape[0], xyz1.shape[1]
+        n2 = xyz2.shape[1]
+        k = self.nsample
+        if xyz2w is None:
+            xyz2w = xyz2
+
+        # --- point-to-patch neighborhoods (soflow.py:384-418)
+        query = xyz1 + sf[..., :3] if (sf is not None and self.use_flow) else xyz1
+        _, knn_idx = knn(query, xyz2, k, approx=True)
+        neighbor_xyz = group_points(xyz2, knn_idx)
+        direction_xyz = neighbor_xyz - xyz1[..., None, :]
+        p1_tiled = jnp.broadcast_to(
+            points1[..., None, :], points1.shape[:2] + (k, points1.shape[-1])
+        )
+        q_in = jnp.concatenate([p1_tiled, group_points(points2, knn_idx)], -1)
+        q_feat = PointMLP(self.mlp, dtype=self.dtype, name="mlp_q")(q_in, train)
+
+        _, knn_idxw = knn(xyz1, xyz2w, k, approx=True)
+        # NOTE: the reference gathers xyz2 (not xyz2w) here (soflow.py:407)
+        neighbor_xyzw = group_points(xyz2, knn_idxw)
+        direction_xyzw = neighbor_xyzw - xyz1[..., None, :]
+        k_in = jnp.concatenate([p1_tiled, group_points(points2, knn_idxw)], -1)
+        k_feat = PointMLP(self.mlp, dtype=self.dtype, name="mlp_k")(k_in, train)
+
+        # --- cross attention between straight and warped patches (:420-422)
+        weight_qk = jnp.einsum(
+            "bnkc,bnjc->bnkj", q_feat, k_feat,
+            preferred_element_type=jnp.float32,
+        )
+        weight_qk = jax.nn.softmax(weight_qk, axis=-2) * jax.nn.softmax(
+            weight_qk, axis=-1
+        )
+
+        # --- per-patch cost features through the SHARED cost MLP (:439-451)
+        def cost_input(feat, direction):
+            parts = [feat]
+            if sf_feat is not None:
+                parts.append(
+                    jnp.broadcast_to(
+                        sf_feat[..., None, :],
+                        sf_feat.shape[:2] + (k, sf_feat.shape[-1]),
+                    )
+                )
+            parts.append(direction)
+            return jnp.concatenate(parts, axis=-1)
+
+        cost_mlp = PointMLP(self.mlp, dtype=self.dtype, name="mlp_cost")
+        q_cost = cost_mlp(cost_input(q_feat, direction_xyz), train)
+        k_cost = cost_mlp(cost_input(k_feat, direction_xyzw), train)
+
+        # --- attended features feed the aggregation weight net (:453-461)
+        q_att = q_feat + jnp.einsum(
+            "bnkj,bnjc->bnkc", weight_qk, k_feat,
+            preferred_element_type=jnp.float32,
+        )
+        k_att = k_feat + jnp.einsum(
+            "bnjc,bnjk->bnkc", q_feat, weight_qk,
+            preferred_element_type=jnp.float32,
+        )
+        c = self.mlp[-1]
+        weightnet = nn.Sequential(
+            [
+                nn.Dense(c, use_bias=False, dtype=self.dtype),
+                nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype),
+                nn.relu,
+                nn.Dense(c // 2, use_bias=False, dtype=self.dtype),
+                nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype),
+                nn.relu,
+                nn.Dense(1, dtype=self.dtype),
+            ],
+            name="weightnet",
+        )
+        w_q = weightnet(q_att)  # [B, N1, K, 1]
+        w_k = weightnet(k_att)
+
+        # --- forward cost: learned softmax over the patch (:469,486)
+        weights1 = jax.nn.softmax(w_q, axis=-2)
+        cost_fwd = jnp.sum(weights1 * q_cost, axis=-2)  # [B, N1, C]
+
+        # --- backward cost: scatter-softmax onto pc2 (:471-484)
+        flat_ids = knn_idxw.reshape(b, n1 * k)
+        flat_kc = k_cost.reshape(b, n1 * k, c)
+        flat_wk = w_k.reshape(b, n1 * k, 1)
+        cost_bwd = jax.vmap(
+            lambda v, w, i: _segment_softmax_sum(v, w, i, n2)
+        )(flat_kc, flat_wk, flat_ids)  # [B, N2, C]
+
+        # --- patch-to-patch grouping + MLP + max (:489-509)
+        grouped_bwd = group_points(cost_bwd, knn_idx)  # [B, N1, K, C]
+        grouped_fwd = jnp.broadcast_to(
+            cost_fwd[..., None, :], cost_fwd.shape[:2] + (k, c)
+        )
+        g_in = cost_input(
+            jnp.concatenate([grouped_fwd, grouped_bwd], axis=-1), direction_xyz
+        )
+        g = PointMLP(self.mlp, dtype=self.dtype, name="mlp_patch")(g_in, train)
+        patch_cost = jnp.max(g, axis=-2)  # [B, N1, C]
+
+        # --- flow head (:511-521)
+        flow_feats = PointMLP(self.flow_mlp, dtype=self.dtype,
+                              name="mlp_flow")(patch_cost, train)
+        re_sf = nn.Dense(self.out_channels, dtype=self.dtype, name="fc")(
+            flow_feats
+        )
+        re_sf = jnp.clip(re_sf, -self.flow_clamp, self.flow_clamp)
+        if sf is not None:
+            re_sf = jnp.clip(re_sf + sf, -self.flow_clamp, self.flow_clamp)
+        return cost_fwd, cost_bwd, flow_feats, re_sf

@@ -1,0 +1,164 @@
+"""PointNet++-style building blocks in Flax, channels-last.
+
+TPU-native replacements for the torch modules backed by pointnet2 CUDA ops:
+- ``SetAbstraction``  <- PointNetSetAbstraction (utils/utils.py:185-248)
+- ``SetUpConv``       <- PointNetSetUpConv (utils/utils.py:250-315)
+- ``UpsampleFlow``    <- UpsampleFlow (utils/soflow.py:1442-1475)
+- ``PointWarping``    <- PointWarping (utils/soflow.py:1222-1257)
+
+Layout: [B, N, C] (channels last) everywhere, not the reference's [B, C, N]:
+pointwise MLPs become Dense ops on the last dim, which XLA maps straight onto
+the MXU with no transposes; kNN/gather run through ops/knn + ops/grouping.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ssf_slam_tpu.ops.fps import farthest_point_sample
+from ssf_slam_tpu.ops.grouping import gather_points, group_points
+from ssf_slam_tpu.ops.interp import idw_weights
+from ssf_slam_tpu.ops.knn import knn
+
+Array = jax.Array
+
+LEAKY_RATE = 0.1  # TFlowV3_Occlussion.py:18
+
+
+class PointMLP(nn.Module):
+    """Stack of pointwise Dense(+BN)+activation layers (Conv1d/2d k=1 stacks).
+
+    Matches the reference conv blocks: bias only when not followed by BN
+    (utils/utils.py:196, soflow Conv1d :1269).
+    """
+
+    features: Sequence[int]
+    use_bn: bool = False
+    leaky: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        for f in self.features:
+            x = nn.Dense(f, use_bias=not self.use_bn, dtype=self.dtype)(x)
+            if self.use_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    dtype=self.dtype,
+                )(x)
+            x = nn.leaky_relu(x, LEAKY_RATE) if self.leaky else nn.relu(x)
+        return x
+
+
+class SetAbstraction(nn.Module):
+    """FPS -> kNN group -> [dxyz || feats] -> MLP -> max-pool.
+
+    utils/utils.py:208-248 semantics (knn branch; group_all unused by TFlow).
+    """
+
+    npoint: int
+    nsample: int
+    mlp: Sequence[int]
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: Array,  # [B, N, 3]
+        feats: Array,  # [B, N, C]
+        train: bool = False,
+        fps_idx: Array | None = None,
+    ) -> tuple[Array, Array, Array]:
+        if fps_idx is None:
+            fps_idx = farthest_point_sample(xyz, self.npoint)  # [B, S]
+        new_xyz = gather_points(xyz, fps_idx)  # [B, S, 3]
+        _, idx = knn(new_xyz, xyz, self.nsample, approx=True)  # [B, S, K]
+        grouped_xyz = group_points(xyz, idx)  # [B, S, K, 3]
+        pos_diff = grouped_xyz - new_xyz[..., None, :]
+        grouped_feats = group_points(feats, idx)  # [B, S, K, C]
+        x = jnp.concatenate([pos_diff, grouped_feats], axis=-1)
+        x = PointMLP(self.mlp, use_bn=self.use_bn, leaky=False,
+                     dtype=self.dtype)(x, train)
+        new_feats = jnp.max(x, axis=-2)  # [B, S, mlp[-1]]
+        return new_xyz, new_feats, fps_idx
+
+
+class SetUpConv(nn.Module):
+    """Feature propagation sparse -> dense with skip connection.
+
+    utils/utils.py:274-315: kNN of dense into sparse, MLP over
+    [sparse_feats || dxyz], max-pool, concat dense skip feats, second MLP.
+    """
+
+    nsample: int
+    mlp: Sequence[int]
+    mlp2: Sequence[int]
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        dense_xyz: Array,  # [B, N, 3]
+        sparse_xyz: Array,  # [B, S, 3]
+        dense_feats: Array | None,  # [B, N, C1] skip
+        sparse_feats: Array,  # [B, S, C2]
+        train: bool = False,
+    ) -> Array:
+        _, idx = knn(dense_xyz, sparse_xyz, self.nsample, approx=True)  # [B, N, K]
+        grouped_xyz = group_points(sparse_xyz, idx)
+        pos_diff = grouped_xyz - dense_xyz[..., None, :]
+        grouped_feats = group_points(sparse_feats, idx)
+        x = jnp.concatenate([grouped_feats, pos_diff], axis=-1)
+        if self.mlp:
+            x = PointMLP(self.mlp, use_bn=self.use_bn, leaky=False,
+                         dtype=self.dtype)(x, train)
+        x = jnp.max(x, axis=-2)  # [B, N, mlp[-1]]
+        if dense_feats is not None:
+            x = jnp.concatenate([x, dense_feats], axis=-1)
+        if self.mlp2:
+            x = PointMLP(self.mlp2, use_bn=self.use_bn, leaky=False,
+                         dtype=self.dtype)(x, train)
+        return x
+
+
+def upsample_flow(
+    dense_xyz: Array,
+    sparse_xyz: Array,
+    sparse_flow: Array,
+    k: int = 3,
+    clamp: float = 100.0,
+) -> Array:
+    """Inverse-distance kNN feature/flow upsampling (soflow.py:1442-1475)."""
+    d, idx = knn(dense_xyz, sparse_xyz, k, approx=True)
+    w = idw_weights(d)
+    grouped = group_points(sparse_flow, idx)
+    out = jnp.sum(w[..., None] * grouped, axis=-2)
+    return jnp.clip(out, -clamp, clamp)
+
+
+def point_warping(
+    pos1: Array,
+    pos2: Array,
+    flow1: Array | None,
+    nsample: int = 3,
+    clamp: float = 10.0,
+) -> Array:
+    """Warp pos2 backward by flow interpolated at pos2 (soflow.py:1222-1257).
+
+    pos1 + flow1 -> kNN onto pos2 -> inverse-distance flow interpolation ->
+    pos2 - interp_flow, clamped.
+    """
+    if flow1 is None:
+        return pos2
+    pos1_to_2 = pos1 + flow1[..., :3]
+    d, idx = knn(pos2, pos1_to_2, nsample, approx=True)
+    w = idw_weights(d)
+    grouped_flow = group_points(flow1, idx)
+    flow2 = jnp.sum(w[..., None] * grouped_flow, axis=-2)
+    return jnp.clip(pos2 - flow2[..., :3], -clamp, clamp)

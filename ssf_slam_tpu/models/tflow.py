@@ -1,0 +1,244 @@
+"""TFlow: coarse-to-fine Siamese scene-flow network.
+
+TPU-native replacement for ``TFlow`` (TFlowV3_Occlussion.py:65-196): shared
+point_conv stem, a 4-level set-abstraction pyramid (8192 -> 2048 -> 512 ->
+256 -> 128 points), set-up-conv decoders, and per-level flow refinement via
+warping + the bidirectional attentive cost volume, with inverse-distance flow
+upsampling between levels. Returns per-level flows (fine first) and the FPS
+index chain for multi-scale supervision.
+
+``multi_scale_loss`` replaces multiScaleLoss (TFlowV3_Occlussion.py:199-220).
+
+With ``joint_seg`` (add_Seg_after_FLow, utils/datasets/carla.py:9 +
+soflow.py:343-346) every flow tensor carries a 4th channel holding a
+static/moving segmentation logit co-estimated with the flow — the full SSF
+co-estimation configuration.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ssf_slam_tpu.config import FlowNetConfig
+from ssf_slam_tpu.models.costvolume import AttentiveCostVolume
+from ssf_slam_tpu.models.layers import (
+    PointMLP,
+    SetAbstraction,
+    SetUpConv,
+    point_warping,
+    upsample_flow,
+)
+from ssf_slam_tpu.ops.grouping import gather_points
+
+Array = jax.Array
+
+
+class TFlow(nn.Module):
+    """Scene-flow network; forward (pc1, pc2) -> ([flows fine->coarse], fps_inds)."""
+
+    cfg: FlowNetConfig = FlowNetConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        pc1: Array,  # [B, N, 3]
+        pc2: Array,  # [B, N, 3]
+        train: bool = False,
+    ) -> tuple[list[Array], list[Array]]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        out_ch = 4 if cfg.joint_seg else 3
+        bn = cfg.use_bn
+
+        # shared stem (TFlowV3_Occlussion.py:68,113-117)
+        point_conv = PointMLP((32, 32), dtype=dtype, name="point_conv")
+        feats1 = point_conv(pc1, train)
+        feats2 = point_conv(pc2, train)
+
+        # set-abstraction pyramid, weights shared across the two clouds
+        sa = [
+            SetAbstraction(
+                npoint=cfg.sa_npoints[i],
+                nsample=cfg.sa_nsample[i],
+                mlp=cfg.sa_mlps[i],
+                use_bn=bn,
+                dtype=dtype,
+                name=f"sa{i + 1}",
+            )
+            for i in range(4)
+        ]
+        l1_pc1, l1_f1, l1_idx = sa[0](pc1, feats1, train)
+        l1_pc2, l1_f2, _ = sa[0](pc2, feats2, train)
+        l2_pc1, l2_f1, l2_idx = sa[1](l1_pc1, l1_f1, train)
+        l2_pc2, l2_f2, _ = sa[1](l1_pc2, l1_f2, train)
+        l3_pc1, l3_f1, l3_idx = sa[2](l2_pc1, l2_f1, train)
+        l3_pc2, l3_f2, _ = sa[2](l2_pc2, l2_f2, train)
+        l4_pc1, l4_f1, _ = sa[3](l3_pc1, l3_f1, train)
+        l4_pc2, l4_f2, _ = sa[3](l3_pc2, l3_f2, train)
+
+        uk = cfg.upsample_k
+        wn = cfg.warp_nsample
+
+        # ---- level 3 (coarsest refined level) (:131-135)
+        su3 = SetUpConv(min(16, cfg.sa_npoints[3]), (256, 256), (256, 256), use_bn=bn, dtype=dtype,
+                        name="su3")
+        l3_4_f1 = su3(l3_pc1, l4_pc1, l3_f1, l4_f1, train)
+        l3_4_f2 = su3(l3_pc2, l4_pc2, l3_f2, l4_f2, train)
+        cost3 = AttentiveCostVolume(
+            cfg.cost_nsample, (256, 256), (128, 128), use_flow=False,
+            out_channels=out_ch, flow_clamp=cfg.flow_clamp, dtype=dtype,
+            name="flow3_r",
+        )
+        c_fwd_l3, c_bwd_l3, l3_feats, l3_flow = cost3(
+            l3_pc1, l3_pc2, None, l3_4_f1, l3_4_f2, train=train
+        )
+
+        # ---- level 2 (:137-153)
+        su2 = SetUpConv(min(16, cfg.sa_npoints[2]), (128, 128), (128, 128), use_bn=bn, dtype=dtype,
+                        name="su2")
+        l2_3_f1 = su2(l2_pc1, l3_pc1, l2_f1, l3_4_f1, train)
+        l2_3_f2 = su2(l2_pc2, l3_pc2, l2_f2, l3_4_f2, train)
+        l2_coarse = upsample_flow(l2_pc1, l3_pc1, l3_flow, k=uk[0],
+                                  clamp=cfg.upsample_clamp)
+        l2_sf_feat = upsample_flow(l2_pc1, l3_pc1, l3_feats, k=uk[0],
+                                   clamp=cfg.upsample_clamp)
+        deconv3_2 = PointMLP((64,), dtype=dtype, name="deconv3_2")
+        c_fwd = jnp.concatenate(
+            [l2_3_f1, deconv3_2(upsample_flow(l2_pc1, l3_pc1, c_fwd_l3,
+                                              clamp=cfg.upsample_clamp), train)],
+            axis=-1,
+        )
+        c_bwd = jnp.concatenate(
+            [l2_3_f2, deconv3_2(upsample_flow(l2_pc2, l3_pc2, c_bwd_l3,
+                                              clamp=cfg.upsample_clamp), train)],
+            axis=-1,
+        )
+        pc2w_l2 = point_warping(l2_pc1, l2_pc2, l2_coarse, wn[1],
+                                clamp=cfg.warp_clamp)
+        cost2 = AttentiveCostVolume(
+            cfg.cost_nsample, (128, 128), (128, 128), use_flow=True,
+            out_channels=out_ch, flow_clamp=cfg.flow_clamp, dtype=dtype,
+            name="flow2_r",
+        )
+        c_fwd_l2, c_bwd_l2, l2_feats, l2_flow = cost2(
+            l2_pc1, l2_pc2, pc2w_l2, c_fwd, c_bwd, l2_coarse, l2_sf_feat,
+            train=train,
+        )
+
+        # ---- level 1 (:155-171)
+        su1 = SetUpConv(min(16, cfg.sa_npoints[1]), (64, 64), (64, 64), use_bn=bn, dtype=dtype,
+                        name="su1")
+        l1_2_f1 = su1(l1_pc1, l2_pc1, l1_f1, l2_3_f1, train)
+        l1_2_f2 = su1(l1_pc2, l2_pc2, l1_f2, l2_3_f2, train)
+        l1_coarse = upsample_flow(l1_pc1, l2_pc1, l2_flow, k=uk[1],
+                                  clamp=cfg.upsample_clamp)
+        l1_sf_feat = upsample_flow(l1_pc1, l2_pc1, l2_feats, k=uk[1],
+                                   clamp=cfg.upsample_clamp)
+        deconv2_1 = PointMLP((32,), dtype=dtype, name="deconv2_1")
+        c_fwd = jnp.concatenate(
+            [l1_2_f1, deconv2_1(upsample_flow(l1_pc1, l2_pc1, c_fwd_l2,
+                                              clamp=cfg.upsample_clamp), train)],
+            axis=-1,
+        )
+        c_bwd = jnp.concatenate(
+            [l1_2_f2, deconv2_1(upsample_flow(l1_pc2, l2_pc2, c_bwd_l2,
+                                              clamp=cfg.upsample_clamp), train)],
+            axis=-1,
+        )
+        pc2w_l1 = point_warping(l1_pc1, l1_pc2, l1_coarse, wn[2],
+                                clamp=cfg.warp_clamp)
+        cost1 = AttentiveCostVolume(
+            cfg.cost_nsample, (64, 64), (64, 64), use_flow=True,
+            out_channels=out_ch, flow_clamp=cfg.flow_clamp, dtype=dtype,
+            name="flow1_r",
+        )
+        c_fwd_l1, c_bwd_l1, l1_feats, l1_flow = cost1(
+            l1_pc1, l1_pc2, pc2w_l1, c_fwd, c_bwd, l1_coarse, l1_sf_feat,
+            train=train,
+        )
+
+        # ---- level 0 (full resolution) (:175-187)
+        su0 = SetUpConv(min(16, cfg.sa_npoints[0]), (64, 64), (64, 64), use_bn=bn, dtype=dtype,
+                        name="su0")
+        l0_f1 = su0(pc1, l1_pc1, feats1, l1_2_f1, train)
+        l0_f2 = su0(pc2, l1_pc2, feats2, l1_2_f2, train)
+        l0_coarse = upsample_flow(pc1, l1_pc1, l1_flow, k=uk[2],
+                                  clamp=cfg.upsample_clamp)
+        l0_sf_feat = upsample_flow(pc1, l1_pc1, l1_feats, k=uk[2],
+                                   clamp=cfg.upsample_clamp)
+        deconv1_0 = PointMLP((32,), dtype=dtype, name="deconv1_0")
+        c_fwd = jnp.concatenate(
+            [l0_f1, deconv1_0(upsample_flow(pc1, l1_pc1, c_fwd_l1,
+                                            clamp=cfg.upsample_clamp), train)],
+            axis=-1,
+        )
+        c_bwd = jnp.concatenate(
+            [l0_f2, deconv1_0(upsample_flow(pc2, l1_pc2, c_bwd_l1,
+                                            clamp=cfg.upsample_clamp), train)],
+            axis=-1,
+        )
+        pc2w_l0 = point_warping(pc1, pc2, l0_coarse, wn[3],
+                                clamp=cfg.warp_clamp)
+        cost0 = AttentiveCostVolume(
+            cfg.cost_nsample, (64, 64), (64, 64), use_flow=True,
+            out_channels=out_ch, flow_clamp=cfg.flow_clamp, dtype=dtype,
+            name="flow0_r",
+        )
+        _, _, _, flow = cost0(
+            pc1, pc2, pc2w_l0, c_fwd, c_bwd, l0_coarse, l0_sf_feat,
+            train=train,
+        )
+
+        flows = [flow, l1_flow, l2_flow, l3_flow]  # fine -> coarse
+        fps_inds = [l1_idx, l2_idx, l3_idx]
+        return flows, fps_inds
+
+
+def multi_scale_loss(
+    pred_flows: list[Array],  # fine -> coarse, [B, N_l, 3(+1)]
+    gt_flow: Array,  # [B, N, 3]
+    mask: Array,  # [B, N] validity / supervision mask
+    fps_inds: list[Array],
+    alpha: tuple = (0.02, 0.04, 0.08, 0.16),
+    seg_labels: Array | None = None,  # [B, N] 0/1 moving labels (joint_seg)
+    seg_weight: float = 1.0,
+) -> Array:
+    """Masked multi-scale L2 flow loss (TFlowV3_Occlussion.py:199-220).
+
+    GT flow and mask are subsampled through the saved FPS index chain. When
+    the predictions carry a 4th (segmentation-logit) channel, a BCE term on
+    ``seg_labels`` is added per level (the add_Seg variant's loss form,
+    TFlowV3_Occlussion_addSeg.py multiScaleLoss).
+    """
+    gt_flows = [gt_flow]
+    gt_masks = [mask]
+    gt_segs = [seg_labels]
+    for idx in fps_inds:
+        gt_flows.append(gather_points(gt_flows[-1], idx))
+        gt_masks.append(
+            jnp.take_along_axis(gt_masks[-1], idx, axis=-1)
+        )
+        if seg_labels is not None:
+            gt_segs.append(jnp.take_along_axis(gt_segs[-1], idx, axis=-1))
+
+    total = 0.0
+    for i, pred in enumerate(pred_flows):
+        diff = (pred[..., :3] - gt_flows[i]) * gt_masks[i][..., None]
+        level = jnp.sum(jnp.linalg.norm(diff, axis=-1), axis=-1)  # [B]
+        total = total + alpha[i] * jnp.mean(level)
+        if seg_labels is not None and pred.shape[-1] == 4:
+            logit = pred[..., 3]
+            bce = optax_sigmoid_bce(logit, gt_segs[i]) * gt_masks[i]
+            total = total + alpha[i] * seg_weight * jnp.mean(
+                jnp.sum(bce, axis=-1)
+            )
+    return total
+
+
+def optax_sigmoid_bce(logits: Array, labels: Array) -> Array:
+    """Numerically-stable sigmoid BCE (optax.sigmoid_binary_cross_entropy)."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )

@@ -44,7 +44,9 @@ def pairwise_sqdist(x: Array, y: Array) -> Array:
     return jnp.maximum(x2 - 2.0 * cross + jnp.swapaxes(y2, -1, -2), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "query_chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "query_chunk", "approx")
+)
 def knn(
     query: Array,
     points: Array,
@@ -52,6 +54,7 @@ def knn(
     query_mask: Array | None = None,
     points_mask: Array | None = None,
     query_chunk: int = 2048,
+    approx: bool = False,
 ) -> tuple[Array, Array]:
     """k nearest neighbors of each query point among ``points``.
 
@@ -63,6 +66,11 @@ def knn(
       points_mask: optional [..., M] bool; invalid reference points never
         selected (their distance is pushed to +inf).
       query_chunk: tile size along N to bound the live distance block.
+      approx: use ``jax.lax.approx_max_k`` (TPU-optimized partial reduction,
+        ~an order of magnitude faster than exact top_k at large M) instead of
+        exact selection. Neighbor recall ~0.95 — right for neural-net
+        grouping layers; keep exact (default) for the geometry/registration
+        path where correspondence quality is accuracy-critical.
 
     Returns:
       (sqdists [..., N, k], indices [..., N, k]) sorted ascending by distance.
@@ -85,7 +93,10 @@ def knn(
         d = pairwise_sqdist(q_chunk, points)
         if points_mask is not None:
             d = jnp.where(points_mask[..., None, :], d, _BIG)
-        _, cand = jax.lax.top_k(-d, kk)  # [..., nq, kk]
+        if approx:
+            _, cand = jax.lax.approx_max_k(-d, kk)  # [..., nq, kk]
+        else:
+            _, cand = jax.lax.top_k(-d, kk)  # [..., nq, kk]
         cand_xyz = jnp.take_along_axis(
             points[..., None, :, :],
             cand[..., None],

@@ -1,0 +1,129 @@
+"""Mesh + sharding helpers: the framework's scale-out story.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(main_sju_occ_ros.py:681-685, NCCL underneath) plus the ROS process pipeline.
+Here scale-out is native JAX sharding over a device mesh:
+
+- training: batch-axis data parallelism — parameters replicated, batches
+  sharded on axis "data"; XLA inserts the gradient psum over ICI. This is
+  the pjit/GSPMD equivalent of DataParallel, minus the parameter broadcast
+  per step.
+- inference/SLAM: sequences are embarrassingly parallel — ``vmap`` of the
+  fused slam step across a sharded sequence axis runs 64 CARLA sequences per
+  slice (the BASELINE.json north-star config) with zero cross-chip traffic
+  inside the step.
+
+Also provides the multi-chip dryrun used by __graft_entry__.py, validated on
+a virtual CPU mesh in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ssf_slam_tpu.config import PipelineConfig, TrainConfig
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Place a host batch with leading batch dim sharded across the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+
+
+def make_sharded_train_step(model, tx, mesh: Mesh, cfg: TrainConfig,
+                            loss_cfg=None, axis: str = "data"):
+    """Data-parallel train step: params replicated, batch sharded.
+
+    jit + NamedSharding constraints let GSPMD partition the step; gradient
+    all-reduce rides ICI automatically.
+    """
+    from ssf_slam_tpu.config import LossConfig
+    from ssf_slam_tpu.train.trainer import TrainState, exp_decay_lr
+    from ssf_slam_tpu.models.tflow import multi_scale_loss
+    import optax
+
+    loss_cfg = loss_cfg or LossConfig()
+    replicated = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, P(axis))
+
+    def step_fn(state: TrainState, batch: dict):
+        def loss_fn(params):
+            (flows, fps), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["pos1"], batch["pos2"], train=True,
+                mutable=["batch_stats"],
+            )
+            seg = batch.get("s_fg_mask") if model.cfg.joint_seg else None
+            loss = multi_scale_loss(
+                flows, batch["gt"], batch["mask1"].astype(jnp.float32), fps,
+                alpha=loss_cfg.alpha, seg_labels=seg,
+            )
+            return loss, updates["batch_stats"]
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, bs, opt_state, state.step + 1),
+            dict(loss=loss, lr=exp_decay_lr(state.step, cfg, cfg.batch_size)),
+        )
+
+    batch_spec = {
+        k: data_sharded
+        for k in ("pos1", "pos2", "gt", "ego_flow", "s_fg_mask", "t_fg_mask",
+                  "mask1", "mask2")
+    }
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, batch_spec),
+        donate_argnums=(0,),
+    )
+
+
+def run_sequences_batched(frames_batch: list, cfg: PipelineConfig,
+                          mesh: Optional[Mesh] = None):
+    """Run the SLAM engine over B sequences at once (vmap), optionally
+    sharded across the mesh's data axis.
+
+    frames_batch: list of sequences (each a list of frame dicts of equal
+    length). Returns stacked outputs [B, S, ...].
+    """
+    from ssf_slam_tpu.engine.pipeline import (
+        init_slam_state,
+        slam_step,
+        stack_scans,
+    )
+
+    stacked = [stack_scans(seq, cfg) for seq in frames_batch]
+    scans = {
+        k: jnp.stack([s[k] for s in stacked]) for k in stacked[0]
+    }  # [B, S, ...]
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("data"))
+        scans = {k: jax.device_put(v, sharding) for k, v in scans.items()}
+
+    def one_sequence(seq_scans):
+        state = init_slam_state(cfg)
+
+        def body(carry, scan):
+            return slam_step(carry, scan, cfg)
+
+        # scan over the frame axis (axis 0 after vmap peels the batch axis)
+        return jax.lax.scan(body, state, seq_scans)
+
+    states, outs = jax.jit(jax.vmap(one_sequence))(scans)
+    return states, outs

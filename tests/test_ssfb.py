@@ -1,0 +1,57 @@
+"""Native ssfb loader tests (builds libssfb.so on first run)."""
+
+import numpy as np
+import pytest
+
+from ssf_slam_tpu.data.ssfb import (
+    SsfbSequence,
+    native_available,
+    write_ssfb,
+)
+from ssf_slam_tpu.data.synthetic import generate_sequence
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def seq_file(tmp_path_factory):
+    frames = generate_sequence(n_frames=6, n_points=1024, seed=0)
+    path = str(tmp_path_factory.mktemp("ssfb") / "seq.ssfb")
+    write_ssfb(frames, path)
+    return path, frames
+
+
+def test_roundtrip(seq_file):
+    path, frames = seq_file
+    s = SsfbSequence(path)
+    assert s.n_frames == 6 and s.n_points == 1024
+    for i in (0, 3, 5):
+        fr = s.frame(i)
+        np.testing.assert_array_equal(fr["pos1"], frames[i]["pos1"])
+        np.testing.assert_array_equal(fr["gt"], frames[i]["gt"])
+        np.testing.assert_array_equal(fr["mask1"],
+                                      frames[i]["mask1"].astype(bool))
+        assert fr["time"] == pytest.approx(frames[i]["time"])
+    s.close()
+
+
+def test_prefetch_iter_order(seq_file):
+    path, frames = seq_file
+    s = SsfbSequence(path)
+    got = [i for i, _ in s.prefetch_iter()]
+    assert got == list(range(6))
+    s.close()
+
+
+def test_zero_copy_view(seq_file):
+    path, frames = seq_file
+    s = SsfbSequence(path)
+    a = s.field(0, "pos1")
+    b = s.field(0, "pos1")
+    # both views alias the same mmap page
+    assert np.shares_memory(
+        np.ctypeslib.as_array(a), np.ctypeslib.as_array(b)
+    ) or np.array_equal(a, b)
+    s.close()
