@@ -117,6 +117,7 @@ class MappingConfig:
     """Keyframe pose-graph back-end. Reference: src/mapOptmization.cpp."""
 
     max_keyframes: int = 512  # preallocated keyframe buffer
+    enable_loop_closure: bool = True  # static: compile the loop branch at all
     keyframe_trans_gate: float = 1.0  # >1 m => keyframe (mapOptmization.cpp:140-141)
     keyframe_rot_gate: float = 0.01  # >0.01 rad any axis => keyframe
     loop_search_radius: float = 15.0  # radiusSearch 15 m (:181)

@@ -33,6 +33,7 @@ from ssf_slam_tpu.ops.se3 import (
     quat_rotate,
     quat_to_rpy,
 )
+from ssf_slam_tpu.ops.buffers import row_write
 from ssf_slam_tpu.ops.voxel import voxel_downsample
 
 Array = jax.Array
@@ -148,12 +149,16 @@ def _build_submap(
     world = quat_rotate(qs[:, None, :], clouds) + ts[:, None, :]
     pts = world.reshape(-1, 3)
     mask = masks.reshape(-1)
-    pts, mask = voxel_downsample(pts, voxel_leaf, mask)
-    # fixed-budget spatially-fair subsample
+    # Fixed-budget subsample by striding across the (keyframe-ordered) rows —
+    # each keyframe contributes proportionally. This replaces BOTH the PCL
+    # 0.1 m ICP voxel filter (:461) and any top_k selection: a wide top_k
+    # over ~100k rows dominated the whole mapping step's compile time, and
+    # voxelizing first leaves mostly-invalid rows under the stride when
+    # keyframe clouds overlap.
+    del voxel_leaf
     n = pts.shape[0]
-    prio = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)) >> 12
-    score = jnp.where(mask, prio.astype(jnp.int32), -1)
-    _, sel = jax.lax.top_k(score, min(out_points, n))
+    m = min(out_points, n)
+    sel = (jnp.arange(m) * (n // m)).astype(jnp.int32)
     return pts[sel], mask[sel]
 
 
@@ -192,11 +197,11 @@ def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
             # trans_loop_adjust accumulates the ICP correction (:327,450)
             adj_q, adj_t = pose_compose(corr, (state.adjust_q, state.adjust_t))
             state = state._replace(
-                loop_a=state.loop_a.at[li].set(idx),
-                loop_b=state.loop_b.at[li].set(cand),
-                loop_rel_q=state.loop_rel_q.at[li].set(rel_q),
-                loop_rel_t=state.loop_rel_t.at[li].set(rel_t),
-                loop_w=state.loop_w.at[li].set(w),
+                loop_a=row_write(state.loop_a, li, idx),
+                loop_b=row_write(state.loop_b, li, cand),
+                loop_rel_q=row_write(state.loop_rel_q, li, rel_q),
+                loop_rel_t=row_write(state.loop_rel_t, li, rel_t),
+                loop_w=row_write(state.loop_w, li, w),
                 n_loops=li + 1,
                 loop_record_index=state.loop_record_index
                 + cfg.loop_skip_after_close,
@@ -249,23 +254,25 @@ def mapping_step(
             (state.kf_q[prev], state.kf_t[prev]), (q, t)
         )
         state = state._replace(
-            kf_q=state.kf_q.at[idx].set(q),
-            kf_t=state.kf_t.at[idx].set(t),
-            kf_time=state.kf_time.at[idx].set(time),
-            kf_cloud=state.kf_cloud.at[idx].set(cloud_xyz),
-            kf_cloud_mask=state.kf_cloud_mask.at[idx].set(cloud_mask),
-            odom_rel_q=state.odom_rel_q.at[idx].set(rel_q),
-            odom_rel_t=state.odom_rel_t.at[idx].set(rel_t),
+            kf_q=row_write(state.kf_q, idx, q),
+            kf_t=row_write(state.kf_t, idx, t),
+            kf_time=row_write(state.kf_time, idx, time),
+            kf_cloud=row_write(state.kf_cloud, idx, cloud_xyz),
+            kf_cloud_mask=row_write(state.kf_cloud_mask, idx, cloud_mask),
+            odom_rel_q=row_write(state.odom_rel_q, idx, rel_q),
+            odom_rel_t=row_write(state.odom_rel_t, idx, rel_t),
             n_kf=idx + 1,
         )
-        may_loop = (
-            (state.n_kf >= cfg.loop_min_keyframes)
-            & (idx > state.loop_record_index)
-            & (state.n_loops < MAX_LOOPS)
-        )
-        state = jax.lax.cond(
-            may_loop, lambda s: _try_close_loop(s, idx, cfg), lambda s: s, state
-        )
+        if cfg.enable_loop_closure:
+            may_loop = (
+                (state.n_kf >= cfg.loop_min_keyframes)
+                & (idx > state.loop_record_index)
+                & (state.n_loops < MAX_LOOPS)
+            )
+            state = jax.lax.cond(
+                may_loop, lambda s: _try_close_loop(s, idx, cfg),
+                lambda s: s, state,
+            )
         # current pose = this keyframe's (possibly re-optimized) pose
         return state._replace(
             cur_q=state.kf_q[idx], cur_t=state.kf_t[idx]

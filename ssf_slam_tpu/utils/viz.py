@@ -1,0 +1,100 @@
+"""Visualization utilities.
+
+Replaces the reference's viz stack (utils/flow_vis.py optical-flow colormap,
+the BEV panels of main_sju_occ_addSeg_Pointnet2_ros.py's 3x2 matplotlib
+comparison, vis_map.py): pure-NumPy colormapping + BEV rasterization so
+results can be rendered headless without Open3D/rviz.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _flow_colorwheel() -> np.ndarray:
+    """Standard Middlebury-style color wheel (55 entries, RGB 0..255)."""
+    ry, yg, gc, cb, bm, mr = 15, 6, 4, 11, 13, 6
+    wheel = np.zeros((ry + yg + gc + cb + bm + mr, 3))
+    col = 0
+    wheel[:ry, 0] = 255
+    wheel[:ry, 1] = np.floor(255 * np.arange(ry) / ry)
+    col += ry
+    wheel[col:col + yg, 0] = 255 - np.floor(255 * np.arange(yg) / yg)
+    wheel[col:col + yg, 1] = 255
+    col += yg
+    wheel[col:col + gc, 1] = 255
+    wheel[col:col + gc, 2] = np.floor(255 * np.arange(gc) / gc)
+    col += gc
+    wheel[col:col + cb, 1] = 255 - np.floor(255 * np.arange(cb) / cb)
+    wheel[col:col + cb, 2] = 255
+    col += cb
+    wheel[col:col + bm, 2] = 255
+    wheel[col:col + bm, 0] = np.floor(255 * np.arange(bm) / bm)
+    col += bm
+    wheel[col:col + mr, 2] = 255 - np.floor(255 * np.arange(mr) / mr)
+    wheel[col:col + mr, 0] = 255
+    return wheel
+
+
+def flow_to_color(flow_xy: np.ndarray, max_mag: float | None = None) -> np.ndarray:
+    """[N, 2] planar flow -> [N, 3] uint8 colors (flow_vis.py equivalent)."""
+    wheel = _flow_colorwheel()
+    n_cols = len(wheel)
+    u, v = flow_xy[:, 0], flow_xy[:, 1]
+    mag = np.sqrt(u * u + v * v)
+    if max_mag is None:
+        max_mag = max(float(mag.max()), 1e-6)
+    mag = np.clip(mag / max_mag, 0, 1)
+    ang = np.arctan2(-v, -u) / np.pi  # [-1, 1]
+    fk = (ang + 1) / 2 * (n_cols - 1)
+    k0 = np.floor(fk).astype(int) % n_cols
+    k1 = (k0 + 1) % n_cols
+    f = (fk - np.floor(fk))[:, None]
+    col = (1 - f) * wheel[k0] / 255 + f * wheel[k1] / 255
+    col = 1 - mag[:, None] * (1 - col)  # desaturate small flow
+    return (col * 255).astype(np.uint8)
+
+
+def bev_image(
+    points: np.ndarray,
+    colors: np.ndarray | None = None,
+    extent: float = 60.0,
+    resolution: int = 512,
+) -> np.ndarray:
+    """Rasterize points (+ optional per-point colors) into a BEV uint8 image."""
+    img = np.zeros((resolution, resolution, 3), np.uint8)
+    ij = np.floor((points[:, :2] + extent) / (2 * extent) * resolution)
+    keep = np.all((ij >= 0) & (ij < resolution), axis=1)
+    ij = ij[keep].astype(int)
+    c = colors[keep] if colors is not None else np.full((keep.sum(), 3), 255,
+                                                       np.uint8)
+    img[resolution - 1 - ij[:, 1], ij[:, 0]] = c
+    return img
+
+
+def segmentation_panel(
+    points: np.ndarray,
+    masks: dict,
+    extent: float = 60.0,
+    resolution: int = 384,
+) -> np.ndarray:
+    """Side-by-side BEV comparison of segmentations (the 3x2 panel equivalent
+    of the SSF variant's matplotlib figure): moving points red, static green.
+    """
+    panels = []
+    for name, mask in masks.items():
+        colors = np.where(
+            np.asarray(mask)[:, None],
+            np.array([[220, 60, 60]], np.uint8),
+            np.array([[60, 200, 60]], np.uint8),
+        )
+        panels.append(bev_image(points, colors, extent, resolution))
+    return np.concatenate(panels, axis=1)
+
+
+def save_ppm(path: str, img: np.ndarray) -> None:
+    """Dependency-free image writer (PPM P6)."""
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(img.astype(np.uint8).tobytes())
