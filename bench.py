@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ssf_slam_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 N_POINTS = 8192
 N_FRAMES = 32
 

@@ -47,7 +47,11 @@ class MapState(NamedTuple):
     kf_q: Array  # [K, 4] optimized keyframe rotations
     kf_t: Array  # [K, 3] optimized keyframe positions
     kf_time: Array  # [K]
-    kf_cloud: Array  # [K, F, 3] feature cloud per keyframe (sensor frame)
+    # Cloud buffers are stored TRANSPOSED [K, 3, F]: a [K, F, 3] layout
+    # puts 3 in the minor (lane) dimension, which XLA pads to 128 lanes —
+    # the buffer physically occupies ~42x its logical size and every
+    # keyframe write moves gigabytes (measured 27 ms/frame).
+    kf_cloud: Array  # [K, 3, F] feature cloud per keyframe (sensor frame)
     kf_cloud_mask: Array  # [K, F]
     odom_rel_q: Array  # [K, 4] measured between factor (i-1 -> i)
     odom_rel_t: Array  # [K, 3]
@@ -74,7 +78,7 @@ def init_map_state(
         kf_q=jnp.tile(qid, (k, 1)),
         kf_t=jnp.zeros((k, 3), dtype),
         kf_time=jnp.zeros((k,), dtype),
-        kf_cloud=jnp.zeros((k, f, 3), dtype),
+        kf_cloud=jnp.zeros((k, 3, f), dtype),
         kf_cloud_mask=jnp.zeros((k, f), bool),
         odom_rel_q=jnp.tile(qid, (k, 1)),
         odom_rel_t=jnp.zeros((k, 3), dtype),
@@ -138,12 +142,12 @@ def _build_submap(
     a fixed budget: voxel-representative points get a pseudo-random priority
     so the subsample is spatially uniform, not biased to early keyframes.
     """
-    f = state.kf_cloud.shape[1]
+    f = state.kf_cloud.shape[2]
     offs = jnp.arange(-halfwidth, halfwidth + 1)
     ks = center + offs
     valid_k = (ks >= 0) & (ks < state.n_kf)
     ks = jnp.clip(ks, 0, state.kf_cloud.shape[0] - 1)
-    clouds = state.kf_cloud[ks]  # [W, F, 3]
+    clouds = jnp.swapaxes(state.kf_cloud[ks], 1, 2)  # [W, F, 3]
     masks = state.kf_cloud_mask[ks] & valid_k[:, None]
     qs, ts = state.kf_q[ks], state.kf_t[ks]
     world = quat_rotate(qs[:, None, :], clouds) + ts[:, None, :]
@@ -174,7 +178,7 @@ def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
     )
 
     def attempt(state):
-        src = quat_rotate(state.kf_q[idx][None], state.kf_cloud[idx]) + state.kf_t[idx][None]
+        src = quat_rotate(state.kf_q[idx][None], state.kf_cloud[idx].T) + state.kf_t[idx][None]
         src_mask = state.kf_cloud_mask[idx]
         tgt, tgt_mask = _build_submap(
             state, cand, cfg.loop_submap_halfwidth, cfg.submap_points,
@@ -257,7 +261,7 @@ def mapping_step(
             kf_q=row_write(state.kf_q, idx, q),
             kf_t=row_write(state.kf_t, idx, t),
             kf_time=row_write(state.kf_time, idx, time),
-            kf_cloud=row_write(state.kf_cloud, idx, cloud_xyz),
+            kf_cloud=row_write(state.kf_cloud, idx, cloud_xyz.T),
             kf_cloud_mask=row_write(state.kf_cloud_mask, idx, cloud_mask),
             odom_rel_q=row_write(state.odom_rel_q, idx, rel_q),
             odom_rel_t=row_write(state.odom_rel_t, idx, rel_t),

@@ -117,3 +117,15 @@ def test_flow_metrics_masked():
     mask = jnp.zeros((1, 10)).at[0, 5:].set(1.0)  # only correct half counts
     m = flow_metrics(pred, gt, mask)
     assert float(m["epe3d"]) < 1e-6
+
+
+def test_predict_flow_resampled(tiny_model, rngs):
+    from ssf_slam_tpu.models.inference import predict_flow, predict_flow_resampled
+
+    model, variables, pc1, pc2 = tiny_model
+    single = predict_flow(model, variables, pc1, pc2)
+    ens = predict_flow_resampled(model, variables, pc1, pc2, rngs, n_resample=3)
+    assert ens.shape == single.shape
+    assert np.isfinite(np.asarray(ens)).all()
+    # ensemble differs from the unpermuted single pass (FPS depends on order)
+    assert float(jnp.abs(ens - single).max()) > 1e-6
