@@ -130,6 +130,26 @@ class CarlaSceneFlowDataset:
             }
 
 
+def compute_label_weights(dataset, n_classes: int = 2,
+                          max_items: int | None = None) -> np.ndarray:
+    """Inverse-frequency class weights for segmentation training.
+
+    Replaces utils/datasets/my_carla.py:379-393 (labelweights): histogram the
+    static/moving labels over the dataset, normalize, and take
+    (1/freq)^(1/3) as per-class loss weights.
+    """
+    counts = np.zeros(n_classes, np.float64)
+    n = len(dataset) if max_items is None else min(max_items, len(dataset))
+    for i in range(n):
+        item = dataset[i]
+        labels = (item["s_fg_mask"] > 0.5).astype(int)
+        m = item["mask1"].astype(bool)
+        counts += np.bincount(labels[m], minlength=n_classes)
+    freq = counts / max(counts.sum(), 1.0)
+    weights = np.power(np.maximum(freq, 1e-6), -1.0 / 3.0)
+    return (weights / weights.sum() * n_classes).astype(np.float32)
+
+
 def save_sequence_npz(frames: list, out_dir: str) -> list:
     """Write generated frames (data/synthetic.py schema) as npz files."""
     os.makedirs(out_dir, exist_ok=True)

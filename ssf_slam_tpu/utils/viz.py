@@ -98,3 +98,32 @@ def save_ppm(path: str, img: np.ndarray) -> None:
     with open(path, "wb") as f:
         f.write(f"P6\n{w} {h}\n255\n".encode())
         f.write(img.astype(np.uint8).tobytes())
+
+
+def project_labels_to_bev(
+    points: np.ndarray,
+    labels: np.ndarray,
+    extent: float = 60.0,
+    resolution: int = 512,
+) -> np.ndarray:
+    """Per-cell label image from labeled points (utils/get2Dlabel.py
+    equivalent, BEV instead of camera projection): majority label per cell,
+    255 = empty."""
+    img = np.full((resolution, resolution), 255, np.uint8)
+    votes = {}
+    ij = np.floor((points[:, :2] + extent) / (2 * extent) * resolution)
+    keep = np.all((ij >= 0) & (ij < resolution), axis=1)
+    ij = ij[keep].astype(int)
+    lab = np.asarray(labels)[keep].astype(int)
+    flat = ij[:, 0] * resolution + ij[:, 1]
+    for cls in np.unique(lab):
+        counts = np.bincount(flat[lab == cls], minlength=resolution**2)
+        votes[cls] = counts
+    if votes:
+        stack = np.stack([votes[c] for c in sorted(votes)], axis=0)
+        best = np.argmax(stack, axis=0)
+        nonzero = stack.sum(0) > 0
+        classes = np.array(sorted(votes))
+        img_flat = img.reshape(-1)
+        img_flat[nonzero] = classes[best[nonzero]]
+    return img.reshape(resolution, resolution)

@@ -111,3 +111,29 @@ def test_slam_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.odom_t), np.asarray(state.odom_t)
     )
     assert int(restored.map_state.n_kf) == int(state.map_state.n_kf)
+
+
+def test_label_weights():
+    from ssf_slam_tpu.data.carla import compute_label_weights
+
+    class FakeDs:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            fg = np.zeros(100, np.float32)
+            fg[:10] = 1.0  # 10% movers
+            return dict(s_fg_mask=fg, mask1=np.ones(100, bool))
+
+    w = compute_label_weights(FakeDs())
+    assert w.shape == (2,)
+    assert w[1] > w[0]  # rare class weighted higher
+
+
+def test_project_labels_to_bev():
+    from ssf_slam_tpu.utils.viz import project_labels_to_bev
+
+    pts = np.array([[10.0, 10.0, 0], [-10.0, -10.0, 0]])
+    labels = np.array([1, 0])
+    img = project_labels_to_bev(pts, labels, extent=20, resolution=8)
+    assert set(np.unique(img)) == {0, 1, 255}
