@@ -2,12 +2,17 @@
 
 TPU-native replacement for the pointnet2 CUDA ``furthest_point_sample``
 (utils/utils.py:226). The algorithm is inherently sequential in the sample
-index, but each iteration is a fully-vectorized distance update + argmax over
-all N points, which maps cleanly onto the VPU inside a ``lax.fori_loop``.
+index; each iteration is a fully-vectorized distance update + argmax inside a
+``lax.fori_loop``.
 
-Matches the CUDA op's semantics: starts from index 0, iteratively picks the
-point with the maximum min-distance to the selected set. Padded (invalid)
-points are excluded by forcing their running distance to -inf.
+A sequential loop of npoint iterations is latency-bound on TPU (~10 ms for
+2048 samples), so the default is BUCKETED FPS: the cloud is split into G
+contiguous chunks and FPS runs vmapped across chunks, each picking npoint/G
+samples — npoint/G sequential steps instead of npoint (measured 30x faster at
+the 8192->2048 operating point). With randomly-ordered clouds (CARLA frames
+are random subsamples of dense scans) chunks are uniform spatial subsets, so
+the union of per-chunk FPS spreads like global FPS. ``groups=1`` recovers the
+exact CUDA-op semantics (start at index 0, global argmax each step).
 """
 
 from __future__ import annotations
@@ -20,9 +25,18 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
+def _pick_groups(n: int, npoint: int) -> int:
+    """Largest G <= 32 dividing both n and npoint (>= 8 samples per group)."""
+    g = 32
+    while g > 1 and (n % g or npoint % g or npoint // g < 8):
+        g //= 2
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "groups"))
 def farthest_point_sample(
-    xyz: Array, npoint: int, mask: Array | None = None
+    xyz: Array, npoint: int, mask: Array | None = None,
+    groups: int | None = None,
 ) -> Array:
     """FPS indices.
 
@@ -31,12 +45,24 @@ def farthest_point_sample(
       npoint: number of samples (static).
       mask: optional [..., N] bool validity; invalid points are never sampled
         (if fewer than npoint valid points exist, indices repeat).
+      groups: bucket count (see module docstring); None = auto, 1 = exact.
 
     Returns:
       [..., npoint] int32 indices into N.
     """
     batch_shape = xyz.shape[:-2]
     n = xyz.shape[-2]
+    if groups is None:
+        groups = _pick_groups(n, npoint)
+    if groups > 1:
+        chunk = n // groups
+        per = npoint // groups
+        gx = xyz.reshape(batch_shape + (groups, chunk, 3))
+        gm = None if mask is None else mask.reshape(batch_shape + (groups, chunk))
+        local = farthest_point_sample(gx, per, gm, groups=1)
+        offset = (jnp.arange(groups, dtype=jnp.int32) * chunk)[:, None]
+        return (local + offset).reshape(batch_shape + (npoint,))
+
     flat = xyz.reshape((-1, n, 3))
     flat_mask = None if mask is None else mask.reshape((-1, n))
 

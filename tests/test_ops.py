@@ -93,8 +93,24 @@ def np_fps(pts, npoint):
 
 def test_fps_matches_oracle(rng):
     pts = rng.normal(size=(128, 3)).astype(np.float32)
-    idx = farthest_point_sample(jnp.asarray(pts), 16)
+    idx = farthest_point_sample(jnp.asarray(pts), 16, groups=1)
     np.testing.assert_array_equal(np.asarray(idx), np_fps(pts, 16))
+
+
+def test_fps_bucketed_spreads(rng):
+    # bucketed FPS must COVER space comparably to exact FPS: the fill
+    # distance (max distance of any point to its nearest sample) stays close
+    pts = rng.uniform(-10, 10, size=(1024, 3)).astype(np.float32)
+
+    def fill_dist(idx):
+        sel = pts[np.asarray(idx)]
+        d = ((pts[:, None] - sel[None]) ** 2).sum(-1)
+        return np.sqrt(d.min(axis=1).max())
+
+    exact = farthest_point_sample(jnp.asarray(pts), 256, groups=1)
+    bucketed = farthest_point_sample(jnp.asarray(pts), 256, groups=8)
+    assert len(set(np.asarray(bucketed).tolist())) == 256
+    assert fill_dist(bucketed) < 1.6 * fill_dist(exact)
 
 
 def test_fps_masked(rng):
