@@ -36,7 +36,9 @@ def build_pipeline():
     from ssf_slam_tpu.models import TFlow
 
     cfg = PipelineConfig(variant=Variant.SSF)
-    net_cfg = FlowNetConfig(npoint=N_POINTS, joint_seg=True)
+    # bfloat16 feature compute: the geometry path (kNN distances, ego-motion
+    # SVD, mapping) stays float32 via the GEOM precision policy
+    net_cfg = FlowNetConfig(npoint=N_POINTS, joint_seg=True, dtype="bfloat16")
     model = TFlow(cfg=net_cfg)
     rng = jax.random.PRNGKey(0)
     pc = jnp.zeros((1, N_POINTS, 3))

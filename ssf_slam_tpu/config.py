@@ -82,6 +82,14 @@ class OdometryConfig:
     max_trans_step: float = 0.5
     # Global BEV-correlation translation init per frame (odometry/bev_init.py)
     bev_init: bool = True
+    # Constant-velocity motion prior: a quadratic pull toward the (BEV-
+    # corrected) warm start, weighted so it only decides directions the scan
+    # geometry leaves unobserved (straight-corridor scenes constrain the
+    # along-road axis with a handful of oblique planes; without a prior the
+    # GN solution wanders >1 m along that null direction). Weights are
+    # information (1/sigma^2): trans sigma ~0.22 m, rot sigma ~0.07 rad.
+    prior_trans_weight: float = 2.0
+    prior_rot_weight: float = 50.0
     # Scan-to-local-map: register against the union of the last N feature
     # clouds instead of a single scan. Sparse far-field structure (narrow
     # visibility stripes) accumulates density across scans, keeping all six

@@ -138,11 +138,11 @@ class AttentiveCostVolume(nn.Module):
             [
                 nn.Dense(c, use_bias=False, dtype=self.dtype),
                 nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=self.dtype),
+                             epsilon=1e-3, dtype=self.dtype),
                 nn.relu,
                 nn.Dense(c // 2, use_bias=False, dtype=self.dtype),
                 nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=self.dtype),
+                             epsilon=1e-3, dtype=self.dtype),
                 nn.relu,
                 nn.Dense(1, dtype=self.dtype),
             ],

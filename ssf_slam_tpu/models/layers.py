@@ -48,7 +48,8 @@ class PointMLP(nn.Module):
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9,
-                    dtype=self.dtype,
+                    epsilon=1e-3,  # dead-ReLU channels have ~0 variance;
+                    dtype=self.dtype,  # rsqrt grads at 1e-5 overflow f32
                 )(x)
             x = nn.leaky_relu(x, LEAKY_RATE) if self.leaky else nn.relu(x)
         return x

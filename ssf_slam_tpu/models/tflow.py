@@ -226,7 +226,10 @@ def multi_scale_loss(
     total = 0.0
     for i, pred in enumerate(pred_flows):
         diff = (pred[..., :3] - gt_flows[i]) * gt_masks[i][..., None]
-        level = jnp.sum(jnp.linalg.norm(diff, axis=-1), axis=-1)  # [B]
+        # grad-safe L2: d||x||/dx is NaN at exactly 0, and masked rows are
+        # exactly 0 — the eps keeps the gradient finite there
+        norm = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        level = jnp.sum(norm, axis=-1)  # [B]
         total = total + alpha[i] * jnp.mean(level)
         if seg_labels is not None and pred.shape[-1] == 4:
             logit = pred[..., 3]

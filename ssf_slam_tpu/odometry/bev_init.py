@@ -37,7 +37,7 @@ def bev_pose_init(
     last_mask: Array,
     yaw_span: float = 0.06,
     n_yaw: int = 9,
-    cell: float = 0.5,
+    cell: float = 0.25,
     half_extent: float = 64.0,
     max_shift: float = 8.0,
     ground_z: float = -1.2,
@@ -98,8 +98,24 @@ def _correlate(
     corr = jnp.where(ok, corr, -jnp.inf)
     flat = jnp.argmax(corr)
     si, sj = flat // n_bins, flat % n_bins
-    dx = jnp.where(si > n_bins // 2, si - n_bins, si).astype(jnp.float32) * cell
-    dy = jnp.where(sj > n_bins // 2, sj - n_bins, sj).astype(jnp.float32) * cell
+
+    # sub-cell refinement: 1-D parabolic fit through the peak and its
+    # (circular) neighbors on each axis — turns the cell-quantized argmax
+    # into a continuous estimate (~cell/10 accuracy)
+    def parab(cm, c0, cp):
+        denom = cm - 2.0 * c0 + cp
+        off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (cm - cp) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    def at(i, j):
+        v = corr[i % n_bins, j % n_bins]
+        return jnp.where(jnp.isfinite(v), v, corr[si, sj])
+
+    off_i = parab(at(si - 1, sj), corr[si, sj], at(si + 1, sj))
+    off_j = parab(at(si, sj - 1), corr[si, sj], at(si, sj + 1))
+
+    dx = (jnp.where(si > n_bins // 2, si - n_bins, si) + off_i) * cell
+    dy = (jnp.where(sj > n_bins // 2, sj - n_bins, sj) + off_j) * cell
     t = jnp.array([1.0, 0.0, 0.0]) * dx + jnp.array([0.0, 1.0, 0.0]) * dy
     return t, corr[si, sj]
 

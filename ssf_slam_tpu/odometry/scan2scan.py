@@ -36,7 +36,14 @@ from ssf_slam_tpu.frontend.features import FeatureCloud
 from ssf_slam_tpu.ops.grouping import group_points
 from ssf_slam_tpu.ops.knn import knn, nearest_neighbor
 from ssf_slam_tpu.ops.precision import GEOM
-from ssf_slam_tpu.ops.se3 import quat_multiply, quat_normalize, quat_rotate, so3_exp_quat
+from ssf_slam_tpu.ops.se3 import (
+    quat_conjugate,
+    quat_multiply,
+    quat_normalize,
+    quat_rotate,
+    so3_exp_quat,
+    so3_log_quat,
+)
 
 Array = jax.Array
 
@@ -242,6 +249,13 @@ def scan_to_scan(
     rng_pt = jnp.linalg.norm(po, axis=-1)
     w_range = 1.0 / (1.0 + (rng_pt / cfg.range_sigma_scale) ** 2)
 
+    # motion-prior anchor: the (BEV-corrected) warm start
+    prior_q, prior_t = init_q, init_t
+    w_prior = jnp.concatenate([
+        jnp.full((3,), cfg.prior_rot_weight),
+        jnp.full((3,), cfg.prior_trans_weight),
+    ])
+
     def gn_iteration(_, carry):
         q, t, pa, nrm, w_valid = carry
         u = quat_rotate(q[None], po)  # rotated current points
@@ -256,6 +270,13 @@ def scan_to_scan(
         jac = jnp.concatenate([j_rot, nrm], axis=-1)  # [F, 6]
         h = jnp.einsum("fi,fj->ij", jac * w[:, None], jac, precision=GEOM)
         g = jnp.einsum("fi,f->i", jac, w * r, precision=GEOM)
+        # constant-velocity prior (J = I under left perturbation)
+        r_prior = jnp.concatenate([
+            so3_log_quat(quat_multiply(q, quat_conjugate(prior_q))),
+            t - prior_t,
+        ])
+        h = h + jnp.diag(w_prior)
+        g = g + w_prior * r_prior
         # Levenberg damping stabilizes the weakly-observed directions
         h = h + cfg.lm_lambda * jnp.diag(jnp.diagonal(h)) + 1e-6 * jnp.eye(6, dtype=h.dtype)
         delta = -jnp.linalg.solve(h, g)

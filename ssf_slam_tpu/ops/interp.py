@@ -18,9 +18,17 @@ from ssf_slam_tpu.ops.knn import knn
 Array = jax.Array
 
 
-def idw_weights(sqdist: Array, eps: float = 1e-10) -> Array:
-    """[..., N, K] squared dists -> normalized inverse-distance weights."""
-    dist = jnp.maximum(jnp.sqrt(jnp.maximum(sqdist, 0.0)), eps)
+def idw_weights(sqdist: Array, eps: float = 1e-2) -> Array:
+    """[..., N, K] squared dists -> normalized inverse-distance weights.
+
+    eps (1 cm — below sensor noise) is added INSIDE the sqrt: upsampling
+    queries are often EXACT members of the sparse set (FPS subsets), where
+    d(sqrt)/dx is infinite and 1/d gradients scale as eps^-3 — a tiny eps
+    (the reference's 1e-10 clamp, soflow.py:1245) sends training gradients
+    to infinity within a few steps. torch.norm special-cases the zero
+    gradient; a decomposed sqrt does not.
+    """
+    dist = jnp.sqrt(jnp.maximum(sqdist, 0.0) + eps * eps)
     inv = 1.0 / dist
     return inv / jnp.sum(inv, axis=-1, keepdims=True)
 

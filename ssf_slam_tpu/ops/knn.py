@@ -27,19 +27,23 @@ Array = jax.Array
 _BIG = 1e10
 
 
-def pairwise_sqdist(x: Array, y: Array) -> Array:
+def pairwise_sqdist(
+    x: Array, y: Array, precision=jax.lax.Precision.HIGHEST
+) -> Array:
     """Squared euclidean distances [..., N, M] between x [..., N, 3] and y [..., M, 3].
 
     The cross term runs on the MXU; clamped at 0 to kill negative epsilons.
+    Default HIGHEST precision: the expansion cancels catastrophically for
+    near neighbors and bf16 MXU passes corrupt nearest-neighbor ordering.
+    Callers that exact-re-rank a candidate superset afterwards (the approx
+    kNN path) may pass DEFAULT and save the extra MXU passes.
     """
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [..., N, 1]
     y2 = jnp.sum(y * y, axis=-1, keepdims=True)  # [..., M, 1]
-    # HIGHEST precision: the expansion cancels catastrophically for near
-    # neighbors, and bf16 MXU passes would corrupt nearest-neighbor ordering.
     cross = jnp.einsum(
         "...nc,...mc->...nm", x, y,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return jnp.maximum(x2 - 2.0 * cross + jnp.swapaxes(y2, -1, -2), 0.0)
 
@@ -86,11 +90,17 @@ def knn(
     # can permute near-equidistant neighbors. Select a slightly larger
     # candidate set with the fast expansion, then re-rank candidates with the
     # exact subtractive distance — O(N*(k+slack)*3), negligible.
-    slack = min(4, m - k) if m > k else 0
+    # larger candidate superset under approx: recovers both approx_max_k
+    # misses and relaxed-precision distance ordering errors
+    slack = min(8 if approx else 4, m - k) if m > k else 0
     kk = k + slack
 
+    dist_precision = (
+        jax.lax.Precision.DEFAULT if approx else jax.lax.Precision.HIGHEST
+    )
+
     def chunk_knn(q_chunk: Array) -> tuple[Array, Array]:
-        d = pairwise_sqdist(q_chunk, points)
+        d = pairwise_sqdist(q_chunk, points, precision=dist_precision)
         if points_mask is not None:
             d = jnp.where(points_mask[..., None, :], d, _BIG)
         if approx:

@@ -60,7 +60,8 @@ def create_train_state(
     # (main_sju_occ_ros.py:418); the schedule is the staircase decay.
     schedule = lambda count: exp_decay_lr(count, cfg, cfg.batch_size)  # noqa: E731
     tx = optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
+        optax.clip_by_global_norm(5.0),  # the summed multi-scale loss scales
+        optax.add_decayed_weights(cfg.weight_decay),  # with N; clip for safety
         optax.scale_by_adam(),
         optax.scale_by_learning_rate(schedule),
     )

@@ -85,7 +85,7 @@ def test_loss_zero_when_perfect(tiny_model):
     # exact-zero only at level 0; coarse levels differ -> loss small but > 0
     loss_full = multi_scale_loss(flows, gt, jnp.ones((2, 256)), fps)
     loss_masked = multi_scale_loss(flows, gt, jnp.zeros((2, 256)), fps)
-    assert float(loss_masked) == 0.0
+    assert float(loss_masked) < 1e-3  # eps-floor of the grad-safe norm
     assert float(loss_full) >= 0.0
 
 

