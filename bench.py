@@ -45,13 +45,16 @@ def build_pipeline():
     variables = jax.jit(model.init)(rng, pc, pc)
 
     def fused_step(state, scan):
-        flows, _ = model.apply(variables, scan["pos1"][None],
-                               scan["pos2"][None])
+        # flow for the (prev, curr) pair -> the motion timestamped at curr
+        flows, _ = model.apply(variables, scan["prev"][None],
+                               scan["points"][None])
         out = flows[0][0]
         slam_scan = dict(
-            points=scan["pos1"],
+            points=scan["points"],
             mask=scan["mask"],
             time=scan["time"],
+            flow_points=scan["prev"],
+            flow_mask=scan["prev_mask"],
             flow=out[:, :3],
             static_mask=out[:, 3] < 0.0,
         )
@@ -70,9 +73,13 @@ def main() -> None:
         n_frames=N_FRAMES, n_points=N_POINTS, seed=0, noise=0.004, n_moving=4
     )
     scans = dict(
-        pos1=jnp.asarray(np.stack([f["pos1"] for f in frames])),
-        pos2=jnp.asarray(np.stack([f["pos2"] for f in frames])),
+        points=jnp.asarray(np.stack([f["pos1"] for f in frames])),
+        prev=jnp.asarray(np.stack(
+            [frames[max(k - 1, 0)]["pos1"] for k in range(len(frames))])),
         mask=jnp.asarray(np.stack([f["mask1"].astype(bool) for f in frames])),
+        prev_mask=jnp.asarray(np.stack(
+            [frames[max(k - 1, 0)]["mask1"].astype(bool)
+             for k in range(len(frames))])),
         time=jnp.asarray([f["time"] for f in frames], jnp.float32),
     )
 

@@ -224,14 +224,20 @@ def subsample_scan(
     return out_p, out_m, out_o
 
 
-def _figure_eight(step: int, n_steps: int, radius: float = 30.0):
-    """Ego trajectory with a guaranteed loop-closure revisit."""
-    u = 2 * np.pi * step / n_steps
-    x = radius * np.sin(u)
-    y = radius * np.sin(u) * np.cos(u)
-    dx = radius * np.cos(u)
-    dy = radius * np.cos(2 * u)
-    yaw = np.arctan2(dy, dx)
+def _serpentine(step: int, n_steps: int, radius: float = 30.0):
+    """Default ego trajectory: gentle lane-weaving drive down the street.
+
+    Stays inside the world's clear corridor (|y| < 5), advances ~1.2 m/frame
+    with bounded, physically-plausible yaw rates. (Loop-closure behavior is
+    exercised by dedicated mapping tests with revisiting trajectories; a
+    generic closed circuit would leave the corridor and clip the buildings.)
+    """
+    del n_steps, radius
+    speed = 1.2
+    x = speed * step - 45.0  # start near one end of the street
+    y = 3.0 * np.sin(0.06 * step)
+    dy = 3.0 * 0.06 * np.cos(0.06 * step)
+    yaw = np.arctan2(dy, speed)
     return np.array([x, y, 1.8]), float(yaw)
 
 
@@ -255,7 +261,7 @@ def generate_sequence(
     """
     rng = np.random.default_rng(seed)
     world = SyntheticWorld.traffic_scene(rng, n_moving=n_moving)
-    traj = trajectory or (lambda k: _figure_eight(k, n_frames, radius))
+    traj = trajectory or (lambda k: _serpentine(k, n_frames, radius))
 
     # cast dense (like a real sensor), then random-subsample to n_points —
     # exactly the density regime of the reference's CARLA npz frames

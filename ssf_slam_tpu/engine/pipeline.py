@@ -99,7 +99,12 @@ def _frame_motion(state: SlamState, scan: dict, feat: FeatureCloud,
             curr_planes=feat_planes,
         )
         return q, t
-    pts, mask = scan["points"], scan["mask"]
+    # Flow ego-motion uses the PREVIOUS pair's (points, flow): the pair
+    # (k-1, k) yields the motion whose timestamp is k. The reference
+    # publishes pair k's motion AT frame k (PointCloudOdometry.py:96-103),
+    # i.e. the k->k+1 motion consumed as k-1->k — a one-frame lag that
+    # vanishes on straight slow paths but breaks curved trajectories.
+    pts, mask = scan["flow_points"], scan["flow_mask"]
     flow = scan["flow"]
     if variant == Variant.SEG:
         return ego_motion_gt_seg(pts, flow, scan["fg_mask"], mask)
@@ -212,22 +217,28 @@ def stack_scans(frames: list, cfg: PipelineConfig,
     ground-truth configs, or a key holding predicted flow).
     """
     n = cfg.lidar.max_points
+
+    def shifted(key, dtype=np.float32):
+        """Frame k carries pair (k-1)'s data (see _frame_motion); row 0 zeros."""
+        arr = np.stack([frames[max(k - 1, 0)][key][:n] for k in
+                        range(len(frames))])
+        arr[0] = 0
+        return arr.astype(dtype)
+
     out = dict(
         points=np.stack([f["pos1"][:n] for f in frames]).astype(np.float32),
         mask=np.stack([f["mask1"][:n].astype(bool) for f in frames]),
         time=np.asarray([f["time"] for f in frames], np.float32),
     )
     if cfg.variant != Variant.ONLY_PC:
+        out["flow_points"] = shifted("pos1")
+        out["flow_mask"] = shifted("mask1", bool)
         key = flow_key or "gt"
-        out["flow"] = np.stack([f[key][:n] for f in frames]).astype(np.float32)
+        out["flow"] = shifted(key)
     if cfg.variant == Variant.SEG:
-        out["fg_mask"] = np.stack(
-            [f["s_fg_mask"][:n] for f in frames]
-        ).astype(np.float32)
+        out["fg_mask"] = shifted("s_fg_mask")
     if cfg.variant == Variant.SSF:
-        out["static_mask"] = np.stack(
-            [f["static_mask"][:n].astype(bool) for f in frames]
-        )
+        out["static_mask"] = shifted("static_mask", bool)
     return {k: jnp.asarray(v) for k, v in out.items()}
 
 

@@ -144,13 +144,25 @@ def _strided_candidate_select(
 def compact_features(
     xyz: Array, ring: Array, selected: Array, max_features: int
 ) -> FeatureCloud:
-    """Pack selected points (original order preserved) into a fixed budget."""
+    """Pack selected points (original order preserved) into a fixed budget.
+
+    When the scan has fewer points than the budget, output rows beyond N are
+    padding (mask False).
+    """
     n = xyz.shape[0]
     j = jnp.arange(n, dtype=jnp.int32)
     score = jnp.where(selected, n - j, -j)  # selected first, ascending j
-    _, idx = jax.lax.top_k(score, max_features)
-    out_mask = selected[idx]
-    return FeatureCloud(xyz=xyz[idx], ring=ring[idx], mask=out_mask)
+    k = min(max_features, n)
+    _, idx = jax.lax.top_k(score, k)
+    out = FeatureCloud(xyz=xyz[idx], ring=ring[idx], mask=selected[idx])
+    if k < max_features:
+        pad = max_features - k
+        out = FeatureCloud(
+            xyz=jnp.concatenate([out.xyz, jnp.zeros((pad, 3), xyz.dtype)]),
+            ring=jnp.concatenate([out.ring, jnp.zeros((pad,), ring.dtype)]),
+            mask=jnp.concatenate([out.mask, jnp.zeros((pad,), bool)]),
+        )
+    return out
 
 
 @functools.partial(

@@ -35,8 +35,8 @@ def bev_pose_init(
     curr_mask: Array,
     last_xyz: Array,
     last_mask: Array,
-    yaw_span: float = 0.06,
-    n_yaw: int = 9,
+    yaw_span: float = 0.1,
+    n_yaw: int = 11,
     cell: float = 0.25,
     half_extent: float = 64.0,
     max_shift: float = 8.0,
