@@ -44,26 +44,14 @@ def build_pipeline():
     pc = jnp.zeros((1, N_POINTS, 3))
     variables = jax.jit(model.init)(rng, pc, pc)
 
-    def fused_step(state, scan):
-        # flow for the (prev, curr) pair -> the motion timestamped at curr
-        flows, _ = model.apply(variables, scan["prev"][None],
-                               scan["points"][None])
-        out = flows[0][0]
-        slam_scan = dict(
-            points=scan["points"],
-            mask=scan["mask"],
-            time=scan["time"],
-            flow_points=scan["prev"],
-            flow_mask=scan["prev_mask"],
-            flow=out[:, :3],
-            static_mask=out[:, 3] < 0.0,
-        )
-        return slam_step(state, slam_scan, cfg)
+    from ssf_slam_tpu.engine.fused import make_fused_step
+
+    fused_step, run_cfg = make_fused_step(model, variables, cfg)
 
     def run(state, scans):
         return jax.lax.scan(fused_step, state, scans)
 
-    return cfg, jax.jit(run), init_slam_state(cfg)
+    return run_cfg, jax.jit(run), init_slam_state(run_cfg)
 
 
 def main() -> None:

@@ -29,6 +29,12 @@ def _load_frames(args) -> list:
             n_frames=args.frames, n_points=args.n_points, seed=args.seed,
             noise=0.004, n_moving=args.n_moving,
         )
+    if args.dataset.endswith(".ssfb"):
+        # native mmap+prefetch loader (native/loader.cc)
+        from ssf_slam_tpu.data.ssfb import SsfbSequence
+
+        seq = SsfbSequence(args.dataset)
+        return [fr for _, fr in seq.prefetch_iter()]
     from ssf_slam_tpu.data.carla import CarlaSceneFlowDataset
 
     ds = CarlaSceneFlowDataset(args.dataset, n_points=args.n_points)

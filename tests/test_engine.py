@@ -103,3 +103,28 @@ def test_tum_roundtrip(tmp_path, seq):
     t, p, q = read_tum(path)
     np.testing.assert_allclose(p, outs["pose_t"], atol=1e-5)
     assert q.shape == (len(seq), 4)
+
+
+def test_fused_ssf_step(seq):
+    import dataclasses
+
+    import jax
+
+    from ssf_slam_tpu.config import FlowNetConfig
+    from ssf_slam_tpu.engine.fused import run_sequence_fused
+    from ssf_slam_tpu.models import TFlow
+
+    net_cfg = FlowNetConfig(
+        npoint=8192, sa_npoints=(512, 128, 64, 32), sa_nsample=(8, 8, 8, 8),
+        cost_nsample=8, joint_seg=True,
+    )
+    model = TFlow(cfg=net_cfg)
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+
+    pc = jnp.zeros((1, 8192, 3))
+    variables = jax.jit(model.init)(rng, pc, pc)
+    cfg = small_cfg(Variant.SSF)
+    state, outs = run_sequence_fused(model, variables, seq[:4], cfg)
+    assert outs["pose_t"].shape == (4, 3)
+    assert np.isfinite(outs["pose_t"]).all()
