@@ -36,9 +36,10 @@ def _segment_softmax_sum(
     Replaces scatter_softmax + scatter_sum (soflow.py:474-481).
     """
     w = weights[..., 0]
-    seg_max = jax.ops.segment_max(w, ids, num_segments=num_segments)
-    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-    ex = jnp.exp(w - seg_max[ids])
+    # softmax is shift-invariant per segment, so a GLOBAL max stabilizes it
+    # just as well as segment_max — and saves one full scatter pass (the
+    # weightnet outputs span a few units, far from f32 exp underflow)
+    ex = jnp.exp(w - jax.lax.stop_gradient(jnp.max(w)))
     denom = jax.ops.segment_sum(ex, ids, num_segments=num_segments)
     soft = ex / jnp.maximum(denom[ids], 1e-16)
     return jax.ops.segment_sum(values * soft[:, None], ids,
@@ -82,20 +83,28 @@ class AttentiveCostVolume(nn.Module):
 
         # --- point-to-patch neighborhoods (soflow.py:384-418)
         query = xyz1 + sf[..., :3] if (sf is not None and self.use_flow) else xyz1
+        xyz2_and_feats = jnp.concatenate(
+            [xyz2, points2.astype(xyz2.dtype)], -1
+        )  # fused gathers: positions + features share the index sets
+
         _, knn_idx = knn(query, xyz2, k, approx=True)
-        neighbor_xyz = group_points(xyz2, knn_idx)
-        direction_xyz = neighbor_xyz - xyz1[..., None, :]
+        grouped = group_points(xyz2_and_feats, knn_idx)
+        direction_xyz = grouped[..., :3] - xyz1[..., None, :]
         p1_tiled = jnp.broadcast_to(
             points1[..., None, :], points1.shape[:2] + (k, points1.shape[-1])
         )
-        q_in = jnp.concatenate([p1_tiled, group_points(points2, knn_idx)], -1)
+        q_in = jnp.concatenate(
+            [p1_tiled, grouped[..., 3:].astype(points2.dtype)], -1
+        )
         q_feat = PointMLP(self.mlp, dtype=self.dtype, name="mlp_q")(q_in, train)
 
         _, knn_idxw = knn(xyz1, xyz2w, k, approx=True)
         # NOTE: the reference gathers xyz2 (not xyz2w) here (soflow.py:407)
-        neighbor_xyzw = group_points(xyz2, knn_idxw)
-        direction_xyzw = neighbor_xyzw - xyz1[..., None, :]
-        k_in = jnp.concatenate([p1_tiled, group_points(points2, knn_idxw)], -1)
+        groupedw = group_points(xyz2_and_feats, knn_idxw)
+        direction_xyzw = groupedw[..., :3] - xyz1[..., None, :]
+        k_in = jnp.concatenate(
+            [p1_tiled, groupedw[..., 3:].astype(points2.dtype)], -1
+        )
         k_feat = PointMLP(self.mlp, dtype=self.dtype, name="mlp_k")(k_in, train)
 
         # --- cross attention between straight and warped patches (:420-422)

@@ -79,10 +79,11 @@ class SetAbstraction(nn.Module):
             fps_idx = farthest_point_sample(xyz, self.npoint)  # [B, S]
         new_xyz = gather_points(xyz, fps_idx)  # [B, S, 3]
         _, idx = knn(new_xyz, xyz, self.nsample, approx=True)  # [B, S, K]
-        grouped_xyz = group_points(xyz, idx)  # [B, S, K, 3]
-        pos_diff = grouped_xyz - new_xyz[..., None, :]
-        grouped_feats = group_points(feats, idx)  # [B, S, K, C]
-        x = jnp.concatenate([pos_diff, grouped_feats], axis=-1)
+        # single fused gather: gathers dominate runtime on TPU, and xyz/feats
+        # share the index set
+        grouped = group_points(jnp.concatenate([xyz, feats], -1), idx)
+        pos_diff = grouped[..., :3] - new_xyz[..., None, :]
+        x = jnp.concatenate([pos_diff, grouped[..., 3:]], axis=-1)
         x = PointMLP(self.mlp, use_bn=self.use_bn, leaky=False,
                      dtype=self.dtype)(x, train)
         new_feats = jnp.max(x, axis=-2)  # [B, S, mlp[-1]]
@@ -112,10 +113,11 @@ class SetUpConv(nn.Module):
         train: bool = False,
     ) -> Array:
         _, idx = knn(dense_xyz, sparse_xyz, self.nsample, approx=True)  # [B, N, K]
-        grouped_xyz = group_points(sparse_xyz, idx)
-        pos_diff = grouped_xyz - dense_xyz[..., None, :]
-        grouped_feats = group_points(sparse_feats, idx)
-        x = jnp.concatenate([grouped_feats, pos_diff], axis=-1)
+        grouped = group_points(
+            jnp.concatenate([sparse_xyz, sparse_feats], -1), idx
+        )  # fused gather (co-indexed)
+        pos_diff = grouped[..., :3] - dense_xyz[..., None, :]
+        x = jnp.concatenate([grouped[..., 3:], pos_diff], axis=-1)
         if self.mlp:
             x = PointMLP(self.mlp, use_bn=self.use_bn, leaky=False,
                          dtype=self.dtype)(x, train)
@@ -141,6 +143,31 @@ def upsample_flow(
     grouped = group_points(sparse_flow, idx)
     out = jnp.sum(w[..., None] * grouped, axis=-2)
     return jnp.clip(out, -clamp, clamp)
+
+
+def upsample_multi(
+    dense_xyz: Array,
+    sparse_xyz: Array,
+    fields: Sequence[Array],
+    k: int = 3,
+    clamp: float = 100.0,
+) -> list:
+    """Upsample several co-located fields with ONE kNN + ONE gather.
+
+    The per-level decoder upsamples flow, flow features, and cost features
+    between the same point sets; sharing the neighbor search and fusing the
+    gathers removes the dominant per-level cost.
+    """
+    d, idx = knn(dense_xyz, sparse_xyz, k, approx=True)
+    w = idw_weights(d)
+    cat = jnp.concatenate(list(fields), axis=-1)
+    grouped = group_points(cat, idx)
+    out = jnp.clip(jnp.sum(w[..., None] * grouped, axis=-2), -clamp, clamp)
+    splits, parts = 0, []
+    for f in fields:
+        parts.append(out[..., splits:splits + f.shape[-1]])
+        splits += f.shape[-1]
+    return parts
 
 
 def point_warping(

@@ -29,6 +29,7 @@ from ssf_slam_tpu.models.layers import (
     SetUpConv,
     point_warping,
     upsample_flow,
+    upsample_multi,
 )
 from ssf_slam_tpu.ops.grouping import gather_points
 
@@ -100,10 +101,9 @@ class TFlow(nn.Module):
                         name="su2")
         l2_3_f1 = su2(l2_pc1, l3_pc1, l2_f1, l3_4_f1, train)
         l2_3_f2 = su2(l2_pc2, l3_pc2, l2_f2, l3_4_f2, train)
-        l2_coarse = upsample_flow(l2_pc1, l3_pc1, l3_flow, k=uk[0],
-                                  clamp=cfg.upsample_clamp)
-        l2_sf_feat = upsample_flow(l2_pc1, l3_pc1, l3_feats, k=uk[0],
-                                   clamp=cfg.upsample_clamp)
+        l2_coarse, l2_sf_feat = upsample_multi(
+            l2_pc1, l3_pc1, (l3_flow, l3_feats), k=uk[0],
+            clamp=cfg.upsample_clamp)
         deconv3_2 = PointMLP((64,), dtype=dtype, name="deconv3_2")
         c_fwd = jnp.concatenate(
             [l2_3_f1, deconv3_2(upsample_flow(l2_pc1, l3_pc1, c_fwd_l3,
@@ -132,10 +132,9 @@ class TFlow(nn.Module):
                         name="su1")
         l1_2_f1 = su1(l1_pc1, l2_pc1, l1_f1, l2_3_f1, train)
         l1_2_f2 = su1(l1_pc2, l2_pc2, l1_f2, l2_3_f2, train)
-        l1_coarse = upsample_flow(l1_pc1, l2_pc1, l2_flow, k=uk[1],
-                                  clamp=cfg.upsample_clamp)
-        l1_sf_feat = upsample_flow(l1_pc1, l2_pc1, l2_feats, k=uk[1],
-                                   clamp=cfg.upsample_clamp)
+        l1_coarse, l1_sf_feat = upsample_multi(
+            l1_pc1, l2_pc1, (l2_flow, l2_feats), k=uk[1],
+            clamp=cfg.upsample_clamp)
         deconv2_1 = PointMLP((32,), dtype=dtype, name="deconv2_1")
         c_fwd = jnp.concatenate(
             [l1_2_f1, deconv2_1(upsample_flow(l1_pc1, l2_pc1, c_fwd_l2,
@@ -164,10 +163,9 @@ class TFlow(nn.Module):
                         name="su0")
         l0_f1 = su0(pc1, l1_pc1, feats1, l1_2_f1, train)
         l0_f2 = su0(pc2, l1_pc2, feats2, l1_2_f2, train)
-        l0_coarse = upsample_flow(pc1, l1_pc1, l1_flow, k=uk[2],
-                                  clamp=cfg.upsample_clamp)
-        l0_sf_feat = upsample_flow(pc1, l1_pc1, l1_feats, k=uk[2],
-                                   clamp=cfg.upsample_clamp)
+        l0_coarse, l0_sf_feat = upsample_multi(
+            pc1, l1_pc1, (l1_flow, l1_feats), k=uk[2],
+            clamp=cfg.upsample_clamp)
         deconv1_0 = PointMLP((32,), dtype=dtype, name="deconv1_0")
         c_fwd = jnp.concatenate(
             [l0_f1, deconv1_0(upsample_flow(pc1, l1_pc1, c_fwd_l1,
