@@ -112,7 +112,10 @@ def fit_ring_diverse_planes(
     normal equations, coplanarity validation (:221-232).
     """
     k = cfg.knn_neighbors
-    d, idx = knn(cloud.xyz, cloud.xyz, k, points_mask=cloud.mask)
+    # approx candidates + exact re-rank: ~8x faster than the exact
+    # HIGHEST-precision path; a ~5% neighbor miss rate only perturbs
+    # which 5 of ~16 near points form each plane fit
+    d, idx = knn(cloud.xyz, cloud.xyz, k, points_mask=cloud.mask, approx=True)
     nbr_ring = cloud.ring[idx]  # [F, k]
     slots, gate_dist = _ring_diverse_five(d, nbr_ring, k)
 
@@ -212,11 +215,12 @@ def scan_to_scan(
         if curr_planes is None:
             d_seed, seed = nearest_neighbor(
                 warped, last.xyz, points_mask=last_valid
-            )
+            )  # k=1 exact (cheap)
         else:
             d, cand = knn(
-                warped, last.xyz, cfg.assoc_neighbors, points_mask=last_valid
-            )  # [F, A]
+                warped, last.xyz, cfg.assoc_neighbors, points_mask=last_valid,
+                approx=True,
+            )  # [F, A]; a missed candidate = one dropped correspondence
             n_c = quat_rotate(q[None], curr_planes.normal)  # rotated normals
             n_l = last_planes.normal[cand]  # [F, A, 3]
             align = jnp.abs(jnp.einsum("fc,fac->fa", n_c, n_l, precision=GEOM))

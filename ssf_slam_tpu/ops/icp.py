@@ -45,7 +45,8 @@ def icp_point_to_point(
     def body(_, carry):
         r, t = carry
         moved = jnp.einsum("nc,dc->nd", source, r, precision=GEOM) + t
-        d2, idx = nearest_neighbor(moved, target, points_mask=target_mask)
+        d2, idx = nearest_neighbor(moved, target, points_mask=target_mask,
+                                   approx=True)
         w = (source_mask & (d2 < max2)).astype(source.dtype)
         r_new, t_new = kabsch(moved, target[idx], w)
         # compose: total = new ∘ current
@@ -58,7 +59,8 @@ def icp_point_to_point(
     r, t = jax.lax.fori_loop(0, iters, body, (r0, t0))
 
     moved = jnp.einsum("nc,dc->nd", source, r, precision=GEOM) + t
-    d2, _ = nearest_neighbor(moved, target, points_mask=target_mask)
+    d2, _ = nearest_neighbor(moved, target, points_mask=target_mask,
+                             approx=True)
     w = (source_mask & (d2 < max2)).astype(source.dtype)
     n = jnp.maximum(jnp.sum(w), 1.0)
     fitness = jnp.sum(d2 * w) / n

