@@ -105,8 +105,11 @@ def cmd_run(args) -> int:
     print(f"wrote {len(times)} poses to {args.out}")
 
     if args.synthetic:
+        from ssf_slam_tpu.engine import rpe_rmse
+
         true_pos = np.stack([f["pose1"][1] for f in frames])
         print(f"ATE RMSE vs ground truth: {ate_rmse(outs['pose_t'], true_pos):.4f} m")
+        print(f"RPE RMSE vs ground truth: {rpe_rmse(outs['pose_t'], true_pos):.4f} m")
     return 0
 
 

@@ -8,5 +8,6 @@ from ssf_slam_tpu.engine.evaluation import (  # noqa: F401
     write_tum,
     read_tum,
     ate_rmse,
+    rpe_rmse,
     umeyama_align,
 )

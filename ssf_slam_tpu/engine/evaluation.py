@@ -49,3 +49,18 @@ def ate_rmse(est_pos: np.ndarray, ref_pos: np.ndarray, align: bool = True):
         est = est @ r.T + t
     err = np.linalg.norm(est - ref, axis=1)
     return float(np.sqrt(np.mean(err**2)))
+
+
+def rpe_rmse(
+    est_pos: np.ndarray, ref_pos: np.ndarray, delta: int = 1
+) -> float:
+    """Relative pose error RMSE (translation part, frame-delta pairs).
+
+    The second half of the evo evaluation protocol (APE + RPE) the reference
+    defers to external tooling (README.md:64-72): per-step drift independent
+    of global alignment.
+    """
+    est, ref = np.asarray(est_pos, float), np.asarray(ref_pos, float)
+    d_est = np.linalg.norm(est[delta:] - est[:-delta], axis=1)
+    d_ref = np.linalg.norm(ref[delta:] - ref[:-delta], axis=1)
+    return float(np.sqrt(np.mean((d_est - d_ref) ** 2)))

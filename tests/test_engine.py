@@ -128,3 +128,26 @@ def test_fused_ssf_step(seq):
     state, outs = run_sequence_fused(model, variables, seq[:4], cfg)
     assert outs["pose_t"].shape == (4, 3)
     assert np.isfinite(outs["pose_t"]).all()
+
+
+def test_rpe_metric():
+    from ssf_slam_tpu.engine import rpe_rmse
+
+    ref = np.cumsum(np.ones((20, 3)), axis=0)
+    est = ref + np.array([100.0, 0, 0])  # rigid offset: zero relative error
+    assert rpe_rmse(est, ref) < 1e-9
+    est2 = ref * 1.1  # 10% per-step scale drift
+    assert rpe_rmse(est2, ref) > 0.1
+
+
+def test_cli_run_smoke(tmp_path):
+    from ssf_slam_tpu.cli import main
+
+    out = str(tmp_path / "t.tum")
+    rc = main(["run", "--variant", "seg", "--synthetic", "--frames", "3",
+               "--out", out])
+    assert rc == 0
+    from ssf_slam_tpu.engine import read_tum
+
+    t, p, q = read_tum(out)
+    assert len(t) == 3

@@ -129,3 +129,17 @@ def test_predict_flow_resampled(tiny_model, rngs):
     assert np.isfinite(np.asarray(ens)).all()
     # ensemble differs from the unpermuted single pass (FPS depends on order)
     assert float(jnp.abs(ens - single).max()) > 1e-6
+
+
+def test_upsample_multi_matches_separate(rngs):
+    from ssf_slam_tpu.models.layers import upsample_flow, upsample_multi
+
+    dense = jax.random.normal(rngs, (1, 128, 3))
+    sparse = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 3))
+    f1 = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 3))
+    f2 = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 16))
+    a, b = upsample_multi(dense, sparse, (f1, f2), k=4)
+    ra = upsample_flow(dense, sparse, f1, k=4)
+    rb = upsample_flow(dense, sparse, f2, k=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ra), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(rb), atol=1e-5)
