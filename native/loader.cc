@@ -119,6 +119,11 @@ void* ssfb_open(const char* path) {
     ::close(fd);
     return nullptr;
   }
+  if ((size_t)st.st_size < sizeof(Header)) {
+    munmap(mem, st.st_size);
+    ::close(fd);
+    return nullptr;
+  }
   auto* s = new Sequence();
   s->fd = fd;
   s->data = static_cast<const uint8_t*>(mem);
@@ -136,6 +141,15 @@ void* ssfb_open(const char* path) {
     off += sizeof(float) * s->header.n_points * s->header.field_dims[i];
   }
   s->frame_bytes = off;
+  // reject truncated files: every frame the header promises must be mapped,
+  // or ssfb_frame_ptr would hand out pointers past the mapping (SIGSEGV on
+  // first read)
+  if (s->size < sizeof(Header) + (size_t)s->header.n_frames * s->frame_bytes) {
+    munmap(mem, st.st_size);
+    ::close(fd);
+    delete s;
+    return nullptr;
+  }
   return s;
 }
 
@@ -169,6 +183,14 @@ const float* ssfb_frame_ptr(void* handle, int64_t frame, int field) {
 
 void ssfb_prefetch_start(void* handle, int64_t start, int64_t stride) {
   auto* s = static_cast<Sequence*>(handle);
+  // a second pass over the same sequence re-enters here with the previous
+  // prefetcher possibly still joinable; assigning over a joinable
+  // std::thread calls std::terminate — stop and join it first
+  if (s->prefetcher.joinable()) {
+    s->stop.store(true);
+    s->cv.notify_all();
+    s->prefetcher.join();
+  }
   s->start = start;
   s->stride = stride > 0 ? stride : 1;
   s->cursor.store(start - 1);

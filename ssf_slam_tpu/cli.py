@@ -105,11 +105,14 @@ def cmd_run(args) -> int:
     print(f"wrote {len(times)} poses to {args.out}")
 
     if args.synthetic:
-        from ssf_slam_tpu.engine import rpe_rmse
+        from ssf_slam_tpu.engine import rpe
 
         true_pos = np.stack([f["pose1"][1] for f in frames])
+        true_rot = np.stack([f["pose1"][0] for f in frames])
+        r = rpe(outs["pose_t"], outs["pose_q"], true_pos, true_rot)
         print(f"ATE RMSE vs ground truth: {ate_rmse(outs['pose_t'], true_pos):.4f} m")
-        print(f"RPE RMSE vs ground truth: {rpe_rmse(outs['pose_t'], true_pos):.4f} m")
+        print(f"RPE vs ground truth: {r['trans_rmse']:.4f} m, "
+              f"{r['rot_rmse_deg']:.4f} deg")
     return 0
 
 

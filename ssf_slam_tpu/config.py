@@ -137,7 +137,8 @@ class MappingConfig:
     icp_max_corr_dist: float = 50.0  # ICP maxCorrespondenceDistance (:241)
     icp_iters: int = 30  # ref runs 100 PCL iters; GN converges much faster
     icp_fitness_gate: float = 0.2  # fitness < 0.2 accept gate (:250)
-    icp_voxel_leaf: float = 0.1  # downSizeFilterICP (:461)
+    # (no icp voxel leaf: the reference's downSizeFilterICP (:461) is
+    # replaced by the fixed-budget stride subsample in _build_submap)
     submap_points: int = 16384  # padded submap size for loop ICP
     posegraph_gn_iters: int = 8  # batch GN replacing iSAM2 updates (:280-293)
     # factor noise (diag variances) — mapOptmization.cpp:151,160,270

@@ -44,7 +44,9 @@ def pad_points(
         if rng is None:
             idx = np.arange(n)
         else:
-            idx = rng.choice(m, n, replace=False)
+            # sorted: downstream curvature windows (frontend/features.py)
+            # assume row-major arrival order is preserved under subsampling
+            idx = np.sort(rng.choice(m, n, replace=False))
         return pts[idx].astype(np.float32), np.ones(n, bool), idx
     idx = np.concatenate([np.arange(m), np.zeros(n - m, np.int64)])
     out = pts[idx].astype(np.float32)

@@ -8,6 +8,7 @@ from ssf_slam_tpu.engine.evaluation import (  # noqa: F401
     write_tum,
     read_tum,
     ate_rmse,
+    rpe,
     rpe_rmse,
     umeyama_align,
 )

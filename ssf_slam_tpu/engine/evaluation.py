@@ -51,16 +51,70 @@ def ate_rmse(est_pos: np.ndarray, ref_pos: np.ndarray, align: bool = True):
     return float(np.sqrt(np.mean(err**2)))
 
 
-def rpe_rmse(
-    est_pos: np.ndarray, ref_pos: np.ndarray, delta: int = 1
-) -> float:
-    """Relative pose error RMSE (translation part, frame-delta pairs).
+def _as_rotmats(rot: np.ndarray) -> np.ndarray:
+    """[N, 3, 3] rotation matrices from matrices or [N, 4] xyzw quaternions."""
+    rot = np.asarray(rot, float)
+    if rot.ndim == 3 and rot.shape[-2:] == (3, 3):
+        return rot
+    from scipy.spatial.transform import Rotation
 
-    The second half of the evo evaluation protocol (APE + RPE) the reference
-    defers to external tooling (README.md:64-72): per-step drift independent
-    of global alignment.
+    return Rotation.from_quat(rot).as_matrix()
+
+
+def rpe(
+    est_pos: np.ndarray,
+    est_rot: np.ndarray,
+    ref_pos: np.ndarray,
+    ref_rot: np.ndarray,
+    delta: int = 1,
+) -> dict:
+    """evo-equivalent relative pose error over frame-delta pairs.
+
+    For each pair (i, i+delta) the relative motions ``Q = inv(P_i) P_{i+d}``
+    are formed for estimate and reference, and the SE(3) error
+    ``E = inv(Q_ref) Q_est`` scored: translation part ``||trans(E)||`` in
+    meters, rotation part ``angle(rot(E))`` in degrees — the metric the
+    reference defers to external evo tooling (README.md:64-72), unlike the
+    round-1 step-length stand-in (which was invariant to heading drift).
+
+    ``est_rot``/``ref_rot`` accept [N, 3, 3] matrices or [N, 4] xyzw quats.
+    Returns dict(trans_rmse, trans_mean, rot_rmse_deg, rot_mean_deg).
     """
-    est, ref = np.asarray(est_pos, float), np.asarray(ref_pos, float)
-    d_est = np.linalg.norm(est[delta:] - est[:-delta], axis=1)
-    d_ref = np.linalg.norm(ref[delta:] - ref[:-delta], axis=1)
-    return float(np.sqrt(np.mean((d_est - d_ref) ** 2)))
+    re_, rr = _as_rotmats(est_rot), _as_rotmats(ref_rot)
+    te = np.asarray(est_pos, float)
+    tr = np.asarray(ref_pos, float)
+    assert te.shape == tr.shape and len(te) > delta
+
+    def rel(r, t):
+        ri = np.swapaxes(r[:-delta], -1, -2)
+        return ri @ r[delta:], np.einsum(
+            "nij,nj->ni", ri, t[delta:] - t[:-delta]
+        )
+
+    dre, dte = rel(re_, te)
+    drr, dtr = rel(rr, tr)
+    rri = np.swapaxes(drr, -1, -2)
+    err_r = rri @ dre
+    err_t = np.einsum("nij,nj->ni", rri, dte - dtr)
+    trans = np.linalg.norm(err_t, axis=1)
+    cos = np.clip((np.trace(err_r, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    ang = np.degrees(np.arccos(cos))
+    return dict(
+        trans_rmse=float(np.sqrt(np.mean(trans**2))),
+        trans_mean=float(np.mean(trans)),
+        rot_rmse_deg=float(np.sqrt(np.mean(ang**2))),
+        rot_mean_deg=float(np.mean(ang)),
+    )
+
+
+def rpe_rmse(
+    est_pos: np.ndarray,
+    ref_pos: np.ndarray,
+    est_rot: np.ndarray,
+    ref_rot: np.ndarray,
+    delta: int = 1,
+) -> float:
+    """Translation RMSE of the evo-style RPE (see ``rpe``). Rotations are
+    REQUIRED: without them relative pose error is ill-defined (a
+    heading-drifting estimate at the correct speed would score ~0)."""
+    return rpe(est_pos, est_rot, ref_pos, ref_rot, delta=delta)["trans_rmse"]

@@ -128,12 +128,9 @@ def _strided_candidate_select(
     cand/mask [N] bool, row [N] int. Candidate ranks are counted per row in
     arrival order via a one-hot cumulative sum.
     """
-    n = cand.shape[0]
     c = (cand & mask).astype(jnp.int32)
     # per-row running candidate count: cumsum of one-hot [N, R] is O(N*R);
     # rows are few (16/64) so this stays cheap and fully vectorized.
-    n_rows = int(jnp.max(jnp.array([1]))) if False else None  # placeholder
-    del n_rows
     max_row = 64
     onehot = jax.nn.one_hot(jnp.clip(row, 0, max_row - 1), max_row, dtype=jnp.int32)
     ranks = jnp.cumsum(onehot * c[:, None], axis=0) - onehot * c[:, None]

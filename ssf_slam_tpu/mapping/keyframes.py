@@ -134,13 +134,12 @@ def _detect_loop(state: MapState, idx, q, t, cfg: MappingConfig):
 
 def _build_submap(
     state: MapState, center: Array, halfwidth: int, out_points: int,
-    voxel_leaf: float,
 ):
     """Aggregate +-halfwidth keyframe clouds around ``center`` in map frame.
 
-    mapOptmization.cpp:201-223 + the 0.1 m ICP voxel filter (:461). Output is
-    a fixed budget: voxel-representative points get a pseudo-random priority
-    so the subsample is spatially uniform, not biased to early keyframes.
+    mapOptmization.cpp:201-223. The reference's 0.1 m ICP voxel filter (:461)
+    is deliberately NOT reproduced — see the subsample comment below — so
+    there is no voxel-leaf knob here (an earlier one was dead config).
     """
     f = state.kf_cloud.shape[2]
     offs = jnp.arange(-halfwidth, halfwidth + 1)
@@ -159,7 +158,6 @@ def _build_submap(
     # over ~100k rows dominated the whole mapping step's compile time, and
     # voxelizing first leaves mostly-invalid rows under the stride when
     # keyframe clouds overlap.
-    del voxel_leaf
     n = pts.shape[0]
     m = min(out_points, n)
     sel = (jnp.arange(m) * (n // m)).astype(jnp.int32)
@@ -182,7 +180,6 @@ def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
         src_mask = state.kf_cloud_mask[idx]
         tgt, tgt_mask = _build_submap(
             state, cand, cfg.loop_submap_halfwidth, cfg.submap_points,
-            cfg.icp_voxel_leaf,
         )
         r, t_corr, fitness = icp_point_to_point(
             src, tgt, src_mask, tgt_mask,

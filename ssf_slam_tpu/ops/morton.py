@@ -84,6 +84,12 @@ def knn_windowed(
     w = min(window, m)
     qcodes = morton_codes(query_sorted, extent)
     pcodes = morton_codes(points_sorted, extent)
+    # match morton_argsort's masked-point sentinel: with a points_mask the
+    # masked rows were sorted by 0xFFFFFFFF, so the recomputed codes must use
+    # the same sentinel or the array is no longer sorted and searchsorted's
+    # binary search returns wrong band centers
+    if points_mask is not None:
+        pcodes = jnp.where(points_mask, pcodes, jnp.uint32(0xFFFFFFFF))
     center = jnp.searchsorted(pcodes, qcodes)  # [N] band centers
     start = jnp.clip(center - w // 2, 0, m - w)
 

@@ -145,6 +145,8 @@ def train_scene_flow(
     ckpt_dir: Optional[str] = None,
     log_every: int = 100,
     verbose: bool = True,
+    run_dir: Optional[str] = None,
+    init_state: Optional[TrainState] = None,
 ) -> tuple[TrainState, dict]:
     """Full training run; returns (best-state, history).
 
@@ -152,21 +154,44 @@ def train_scene_flow(
     ``eval_batches_fn``: callable () -> iterator for eval.
     Checkpoints best-EPE params to ``ckpt_dir`` via orbax when given
     (model.best.t7 semantics, main_sju_occ_ros.py:439-445).
+    ``run_dir``: when given, a RunLogger streams loss/lr every ``log_every``
+    steps plus per-epoch eval metrics to run.log / metrics.jsonl and
+    snapshots the config — the reference's IOStream + TensorBoard pair
+    (main_sju_occ_ros.py:50-60,370-385).
+    ``init_state``: resume from an existing TrainState (e.g. a restored
+    checkpoint) instead of a fresh init.
     """
     rng = jax.random.PRNGKey(cfg.seed)
     state, tx = create_train_state(model, rng, n_points, cfg)
+    if init_state is not None:
+        state = init_state
     step_fn = make_train_step(model, tx, cfg, loss_cfg)
     eval_fn = make_eval_step(model)
 
+    logger = None
+    if run_dir is not None:
+        from ssf_slam_tpu.utils.logging import RunLogger
+
+        logger = RunLogger(run_dir)
+        logger.snapshot_config(dict(train=cfg, loss=loss_cfg,
+                                    model=model.cfg, n_points=n_points))
+
     best_epe = float("inf")
-    best_state = state
+    # the train step donates its input state; snapshots must be materialized
+    # host-side or later steps delete the "best" buffers out from under us
+    snapshot = lambda s: jax.tree.map(np.asarray, s)  # noqa: E731
+    best_state = snapshot(state)
     history = {"train_loss": [], "eval_epe": []}
     for epoch in range(epochs or cfg.epochs):
         losses = []
         for batch in train_batches():
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, batch)
-            losses.append(float(metrics["loss"]))
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            if logger is not None and int(state.step) % log_every == 0:
+                logger.metrics(int(state.step), train_loss=loss,
+                               lr=float(metrics["lr"]))
         epoch_loss = float(np.mean(losses)) if losses else float("nan")
 
         epes = []
@@ -177,14 +202,21 @@ def train_scene_flow(
         epoch_epe = float(np.mean(epes)) if epes else float("nan")
         history["train_loss"].append(epoch_loss)
         history["eval_epe"].append(epoch_epe)
-        if verbose:
-            print(f"epoch {epoch}: loss {epoch_loss:.4f} EPE {epoch_epe:.4f}")
+        msg = f"epoch {epoch}: loss {epoch_loss:.4f} EPE {epoch_epe:.4f}"
+        if logger is not None:
+            logger.cprint(msg)
+            logger.metrics(int(state.step), epoch=epoch,
+                           epoch_loss=epoch_loss, eval_epe=epoch_epe)
+        elif verbose:
+            print(msg, flush=True)
 
         if epoch_epe < best_epe:
             best_epe = epoch_epe
-            best_state = state
+            best_state = snapshot(state)
             if ckpt_dir is not None:
                 save_checkpoint(ckpt_dir, state)
+    if logger is not None:
+        logger.close()
     return best_state, history
 
 

@@ -70,6 +70,8 @@ def _to_jsonable(obj: Any):
             f.name: _to_jsonable(getattr(obj, f.name))
             for f in dataclasses.fields(obj)
         }
+    if isinstance(obj, dict):
+        return {k: _to_jsonable(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
         return [_to_jsonable(x) for x in obj]
     return obj

@@ -131,13 +131,48 @@ def test_fused_ssf_step(seq):
 
 
 def test_rpe_metric():
-    from ssf_slam_tpu.engine import rpe_rmse
+    from scipy.spatial.transform import Rotation
 
-    ref = np.cumsum(np.ones((20, 3)), axis=0)
-    est = ref + np.array([100.0, 0, 0])  # rigid offset: zero relative error
-    assert rpe_rmse(est, ref) < 1e-9
-    est2 = ref * 1.1  # 10% per-step scale drift
-    assert rpe_rmse(est2, ref) > 0.1
+    from ssf_slam_tpu.engine import rpe, rpe_rmse
+
+    n = 20
+    ref = np.cumsum(np.ones((n, 3)), axis=0)
+    eye = np.tile(np.eye(3), (n, 1, 1))
+    # rigid offset: zero relative error
+    est = ref + np.array([100.0, 0, 0])
+    assert rpe_rmse(est, ref, eye, eye) < 1e-9
+    # 10% per-step scale drift
+    assert rpe_rmse(ref * 1.1, ref, eye, eye) > 0.1
+
+    ref3 = np.stack(
+        [np.arange(n, dtype=float), np.zeros(n), np.zeros(n)], axis=1
+    )
+
+    # golden value 1 (the case the round-1 step-length stand-in scored ~0):
+    # estimate walks at the correct unit speed but 10 deg off-heading, with
+    # identity orientations. Per pair the translation error is
+    # |[cos10-1, sin10, 0]| = 2 sin(5 deg).
+    theta = np.radians(10.0)
+    d = np.array([np.cos(theta), np.sin(theta), 0.0])
+    est3 = np.arange(n, dtype=float)[:, None] * d
+    r = rpe(est3, eye, ref3, eye)
+    assert abs(r["trans_rmse"] - 2.0 * np.sin(theta / 2.0)) < 1e-9
+    assert r["rot_rmse_deg"] < 1e-6
+
+    # golden value 2: orientation drifting 10 deg/step while the per-frame
+    # relative motion in the body frame matches the reference exactly —
+    # translation RPE ~0, rotation RPE exactly 10 deg.
+    yaw = theta * np.arange(n)
+    est_rot = Rotation.from_euler("z", yaw[:, None]).as_matrix()
+    steps = est_rot[:-1] @ np.array([1.0, 0.0, 0.0])
+    est4 = np.concatenate([np.zeros((1, 3)), np.cumsum(steps, axis=0)])
+    r = rpe(est4, est_rot, ref3, eye)
+    assert r["trans_rmse"] < 1e-9
+    assert abs(r["rot_rmse_deg"] - 10.0) < 1e-6
+    # quat input path agrees with the matrix path
+    quats = Rotation.from_matrix(est_rot).as_quat()
+    r2 = rpe(est4, quats, ref3, eye)
+    assert abs(r2["rot_rmse_deg"] - r["rot_rmse_deg"]) < 1e-9
 
 
 def test_cli_run_smoke(tmp_path):

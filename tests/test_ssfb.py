@@ -55,3 +55,27 @@ def test_zero_copy_view(seq_file):
         np.ctypeslib.as_array(a), np.ctypeslib.as_array(b)
     ) or np.array_equal(a, b)
     s.close()
+
+
+def test_prefetch_iter_twice(seq_file):
+    # regression: a second prefetch pass used to assign over a still-joinable
+    # std::thread -> std::terminate (SIGABRT of the whole process)
+    path, frames = seq_file
+    s = SsfbSequence(path)
+    first = [i for i, _ in s.prefetch_iter()]
+    second = [i for i, _ in s.prefetch_iter()]
+    assert first == second == list(range(6))
+    s.close()
+
+
+def test_truncated_file_rejected(seq_file, tmp_path):
+    path, frames = seq_file
+    blob = open(path, "rb").read()
+    bad = tmp_path / "trunc.ssfb"
+    bad.write_bytes(blob[: len(blob) // 2])  # header promises more frames
+    with pytest.raises(Exception):
+        SsfbSequence(str(bad))
+    tiny = tmp_path / "tiny.ssfb"
+    tiny.write_bytes(blob[:16])  # smaller than the header itself
+    with pytest.raises(Exception):
+        SsfbSequence(str(tiny))
