@@ -37,8 +37,10 @@ def build_pipeline():
 
     cfg = PipelineConfig(variant=Variant.SSF)
     # bfloat16 feature compute: the geometry path (kNN distances, ego-motion
-    # SVD, mapping) stays float32 via the GEOM precision policy
-    net_cfg = FlowNetConfig(npoint=N_POINTS, joint_seg=True, dtype="bfloat16")
+    # SVD, mapping) stays float32 via the GEOM precision policy.
+    # banded: Morton-sorted Pallas neighbor kernels (ops/banded.py).
+    net_cfg = FlowNetConfig(npoint=N_POINTS, joint_seg=True, dtype="bfloat16",
+                            neighbor_backend="banded")
     model = TFlow(cfg=net_cfg)
     rng = jax.random.PRNGKey(0)
     pc = jnp.zeros((1, N_POINTS, 3))

@@ -189,7 +189,7 @@ def bench_banded():
             pts + c * 1e-6, pts, feats, K)[2][0, 0, 0] * 0 + 1)
     one("banded_knn_idw_8192x2048x64",
         lambda c: c + banded_knn_idw(
-            pts + c * 1e-6, t2, feats2, 3)[0, 0] * 0 + 1)
+            pts + c * 1e-6, t2, feats2, 3)[0][0, 0] * 0 + 1)
     return results
 
 

@@ -1,0 +1,204 @@
+"""Long-haul SSF (joint flow+seg) training on synthetic CARLA-style worlds.
+
+The reference trains TFlow for 600 epochs on CARLA scene-flow pairs
+(main_sju_occ.sh:8-14); this is the TPU equivalent at production scale:
+
+- corpus: many worlds (seeds x traffic density x world radius x noise),
+  serpentine trajectories, 8192 pts/scan — the data regime of
+  utils/datasets/carla.py npz pairs;
+- inverse-frequency seg label weights (my_carla.py:379-393 labelweights)
+  applied to the joint-seg BCE;
+- bf16 activations + f32 params, banded Pallas neighbor kernels;
+- checkpoint-on-best-EPE ("model.best.t7") plus a full resume checkpoint
+  (params + opt state + step) so training can run in wall-clock chunks;
+- RunLogger streaming (run.log + metrics.jsonl).
+
+Usage:
+    python scripts/train_ssf.py --epochs 120 --out runs/ssf_r2
+    python scripts/train_ssf.py --epochs 120 --out runs/ssf_r2 --resume
+    python scripts/train_ssf.py ... --max-seconds 3000   # bounded chunk
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssf_slam_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+N_POINTS = 8192
+
+
+def build_corpus(n_worlds: int, frames_per_world: int, rng_base: int = 0):
+    """Varied training worlds + one held-out eval world (seed 100)."""
+    from ssf_slam_tpu.data.synthetic import generate_sequence
+
+    train = []
+    for w in range(n_worlds):
+        rng = np.random.default_rng(1000 + w)
+        frames = generate_sequence(
+            n_frames=frames_per_world,
+            n_points=N_POINTS,
+            seed=rng_base + w,
+            noise=float(rng.uniform(0.002, 0.006)),
+            n_moving=int(rng.integers(2, 9)),
+            radius=float(rng.uniform(18.0, 42.0)),
+        )
+        train.extend(frames)
+    eval_frames = generate_sequence(
+        n_frames=16, n_points=N_POINTS, seed=100, noise=0.004, n_moving=5,
+        radius=30.0,
+    )
+    return train, eval_frames
+
+
+def batcher(frames: list, batch_size: int, seed_holder: list):
+    keys = ("pos1", "pos2", "gt", "s_fg_mask", "mask1")
+
+    def gen():
+        rng = np.random.default_rng(seed_holder[0])
+        seed_holder[0] += 1
+        order = rng.permutation(len(frames))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            items = [frames[int(i)] for i in order[s:s + batch_size]]
+            yield {k: np.stack([it[k] for it in items]) for k in keys}
+
+    return gen
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=120)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--n-worlds", type=int, default=12)
+    p.add_argument("--frames-per-world", type=int, default=40)
+    p.add_argument("--out", default="runs/ssf_r2")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-seconds", type=float, default=None)
+    p.add_argument("--lr", type=float, default=1e-3)
+    args = p.parse_args()
+
+    from ssf_slam_tpu.config import FlowNetConfig, LossConfig, TrainConfig
+    from ssf_slam_tpu.data.carla import compute_label_weights
+    from ssf_slam_tpu.models import TFlow
+    from ssf_slam_tpu.train.trainer import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+        save_checkpoint,
+    )
+    from ssf_slam_tpu.utils.logging import RunLogger
+
+    t_start = time.time()
+    print("generating corpus...", flush=True)
+    train_frames, eval_frames = build_corpus(args.n_worlds,
+                                             args.frames_per_world)
+    print(f"corpus: {len(train_frames)} train pairs, "
+          f"{len(eval_frames)} eval pairs "
+          f"({time.time() - t_start:.0f}s)", flush=True)
+
+    lw = compute_label_weights(train_frames, max_items=128)
+    print(f"label weights (static, moving): {lw}", flush=True)
+
+    net_cfg = FlowNetConfig(npoint=N_POINTS, joint_seg=True,
+                            dtype="bfloat16", neighbor_backend="banded")
+    model = TFlow(cfg=net_cfg)
+    tcfg = TrainConfig(lr=args.lr, batch_size=args.batch_size,
+                       epochs=args.epochs)
+    loss_cfg = LossConfig(seg_class_weights=(float(lw[0]), float(lw[1])))
+
+    state, tx = create_train_state(model, jax.random.PRNGKey(tcfg.seed),
+                                   N_POINTS, tcfg)
+    step_fn = make_train_step(model, tx, tcfg, loss_cfg)
+    eval_fn = make_eval_step(model)
+
+    os.makedirs(args.out, exist_ok=True)
+    meta_path = os.path.join(args.out, "progress.json")
+    start_epoch, best_epe = 0, float("inf")
+    if args.resume and os.path.exists(meta_path):
+        import orbax.checkpoint as ocp
+
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        start_epoch, best_epe = meta["epoch"] + 1, meta["best_epe"]
+        ckptr = ocp.StandardCheckpointer()
+        target = dict(params=state.params, batch_stats=state.batch_stats,
+                      opt_state=state.opt_state,
+                      step=np.zeros((), np.int32))
+        restored = ckptr.restore(
+            os.path.abspath(os.path.join(args.out, "last")), target)
+        state = state._replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]))
+        print(f"resumed at epoch {start_epoch} (best EPE {best_epe:.4f})",
+              flush=True)
+
+    logger = RunLogger(args.out)
+    logger.snapshot_config(dict(train=tcfg, loss=loss_cfg, model=net_cfg,
+                                n_points=N_POINTS, argv=" ".join(sys.argv)))
+    seed_holder = [tcfg.seed + start_epoch]
+    train_gen = batcher(train_frames, args.batch_size, seed_holder)
+    eval_gen = batcher(eval_frames, args.batch_size, [999])
+
+    def save_last(epoch):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            os.path.abspath(os.path.join(args.out, "last")),
+            dict(params=state.params, batch_stats=state.batch_stats,
+                 opt_state=state.opt_state, step=np.asarray(state.step)),
+            force=True)
+        ckptr.wait_until_finished()
+        with open(meta_path, "w") as fh:
+            json.dump(dict(epoch=epoch, best_epe=best_epe), fh)
+
+    for epoch in range(start_epoch, args.epochs):
+        losses = []
+        t0 = time.time()
+        for batch in train_gen():
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step_fn(state, batch)
+            losses.append(float(metrics["loss"]))
+        epoch_loss = float(np.mean(losses))
+
+        ms = []
+        for batch in eval_gen():
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            ms.append({k: float(v) for k, v in eval_fn(state, batch).items()})
+        agg = {k: float(np.mean([m[k] for m in ms])) for k in ms[0]}
+        dt = time.time() - t0
+        logger.cprint(
+            f"epoch {epoch}: loss {epoch_loss:.4f} EPE {agg['epe3d']:.4f} "
+            f"mIoU {agg.get('miou', float('nan')):.4f} "
+            f"acc3dr {agg['acc3d_relax']:.4f} ({dt:.0f}s)")
+        logger.metrics(int(state.step), epoch=epoch, epoch_loss=epoch_loss,
+                       **agg)
+
+        if agg["epe3d"] < best_epe:
+            best_epe = agg["epe3d"]
+            save_checkpoint(os.path.abspath(args.out), state)
+        save_last(epoch)
+
+        if args.max_seconds and time.time() - t_start > args.max_seconds:
+            logger.cprint(f"max-seconds reached at epoch {epoch}; stopping")
+            break
+
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -28,6 +28,7 @@ def _load_frames(args) -> list:
         return generate_sequence(
             n_frames=args.frames, n_points=args.n_points, seed=args.seed,
             noise=0.004, n_moving=args.n_moving,
+            trajectory=args.trajectory,
         )
     if args.dataset.endswith(".ssfb"):
         # native mmap+prefetch loader (native/loader.cc)
@@ -41,26 +42,30 @@ def _load_frames(args) -> list:
     return [ds[i] for i in range(len(ds))]
 
 
-def _predict_flow(frames: list, args) -> None:
-    """Run TFlow over each frame pair, writing flow (+seg mask) into frames."""
+def _build_model(args, variant: str | None = None):
+    """Construct TFlow (+ checkpoint restore) for the sf/ssf variants."""
     import jax
     import jax.numpy as jnp
 
     from ssf_slam_tpu.config import FlowNetConfig
     from ssf_slam_tpu.models import TFlow
 
-    joint = args.variant == "ssf"
-    cfg = FlowNetConfig(npoint=args.n_points, joint_seg=joint)
+    joint = (variant or args.variant) == "ssf"
+    cfg = FlowNetConfig(npoint=args.n_points, joint_seg=joint,
+                        dtype=args.net_dtype,
+                        neighbor_backend=args.neighbor_backend)
     model = TFlow(cfg=cfg)
     rng = jax.random.PRNGKey(0)
     pc = jnp.zeros((1, args.n_points, 3))
     variables = jax.jit(model.init)(rng, pc, pc)
     if args.ckpt:
+        import os
+
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(
-            f"{args.ckpt}",
+            os.path.abspath(args.ckpt),
             dict(params=variables["params"],
                  batch_stats=variables.get("batch_stats", {})),
         )
@@ -69,11 +74,36 @@ def _predict_flow(frames: list, args) -> None:
     else:
         print("WARNING: no --ckpt given; flow net runs with random weights",
               file=sys.stderr)
+    return model, variables
 
-    @jax.jit
-    def infer(pc1, pc2):
-        flows, _ = model.apply(variables, pc1, pc2)
-        return flows[0]
+
+def _predict_flow(frames: list, args, variant: str | None = None) -> None:
+    """Run TFlow over each frame pair, writing flow (+seg mask) into frames.
+
+    With ``--resample N`` each pair is predicted N times under random point
+    permutations and averaged (the reference's test-time resampling loop,
+    main_sju_occ_ros.py:196-216).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    model, variables = _build_model(args, variant)
+    joint = (variant or args.variant) == "ssf"
+
+    if args.resample > 1:
+        from ssf_slam_tpu.models.inference import predict_flow_resampled
+
+        @jax.jit
+        def infer(pc1, pc2):
+            return predict_flow_resampled(
+                model, variables, pc1, pc2, jax.random.PRNGKey(args.seed),
+                n_resample=args.resample)
+    else:
+
+        @jax.jit
+        def infer(pc1, pc2):
+            flows, _ = model.apply(variables, pc1, pc2)
+            return flows[0]
 
     for f in frames:
         out = infer(jnp.asarray(f["pos1"])[None], jnp.asarray(f["pos2"])[None])
@@ -83,25 +113,48 @@ def _predict_flow(frames: list, args) -> None:
             f["static_mask"] = out[:, 3] < 0.0  # logit<0 => static
 
 
-def cmd_run(args) -> int:
+def _run_variant(frames: list, variant_name: str, args):
+    """Run one pipeline variant over frames -> (times, pos, quat) arrays.
+
+    sf/ssf route through the FUSED engine (engine/fused.py): TFlow runs
+    inside the jitted per-scan step — no per-frame host dispatch (the
+    round-1 CLI's per-pair infer() hop cost ~25 ms/frame on this runtime).
+    """
     from ssf_slam_tpu.config import PipelineConfig, Variant
-    from ssf_slam_tpu.engine import ate_rmse, run_sequence, write_tum
+    from ssf_slam_tpu.engine import run_sequence
 
-    variant = Variant(args.variant)
+    variant = Variant(variant_name)
     cfg = PipelineConfig(variant=variant)
-    frames = _load_frames(args)
 
-    flow_key = None
     if variant in (Variant.SF, Variant.SSF):
-        _predict_flow(frames, args)
-        flow_key = "pred_flow"
-        if variant == Variant.SSF and "static_mask" not in frames[0]:
-            for f in frames:
-                f["static_mask"] = f["s_fg_mask"] < 0.5
+        if args.resample > 1:
+            # resampling needs per-pair ensemble prediction; host loop
+            frames = [dict(f) for f in frames]
+            _predict_flow(frames, args, variant_name)
+            state, outs = run_sequence(frames, cfg, flow_key="pred_flow")
+        else:
+            from ssf_slam_tpu.engine.fused import run_sequence_fused
 
-    state, outs = run_sequence(frames, cfg, flow_key=flow_key)
-    times = [f["time"] for f in frames]
-    write_tum(args.out, times, outs["pose_t"], outs["pose_q"])
+            model, variables = _build_model(args, variant_name)
+            state, outs = run_sequence_fused(
+                model, variables, frames, cfg,
+                use_gmm=variant == Variant.SF)
+    else:
+        state, outs = run_sequence(frames, cfg)
+    n_loops = int(state.map_state.n_loops)
+    if n_loops:
+        print(f"[{variant_name}] loop closures fired: {n_loops}",
+              file=sys.stderr)
+    times = np.asarray([f["time"] for f in frames])
+    return times, outs["pose_t"], outs["pose_q"]
+
+
+def cmd_run(args) -> int:
+    from ssf_slam_tpu.engine import ate_rmse, write_tum
+
+    frames = _load_frames(args)
+    times, pos, quat = _run_variant(frames, args.variant, args)
+    write_tum(args.out, times, pos, quat)
     print(f"wrote {len(times)} poses to {args.out}")
 
     if args.synthetic:
@@ -109,10 +162,61 @@ def cmd_run(args) -> int:
 
         true_pos = np.stack([f["pose1"][1] for f in frames])
         true_rot = np.stack([f["pose1"][0] for f in frames])
-        r = rpe(outs["pose_t"], outs["pose_q"], true_pos, true_rot)
-        print(f"ATE RMSE vs ground truth: {ate_rmse(outs['pose_t'], true_pos):.4f} m")
+        r = rpe(pos, quat, true_pos, true_rot)
+        print(f"ATE RMSE vs ground truth: {ate_rmse(pos, true_pos):.4f} m")
         print(f"RPE vs ground truth: {r['trans_rmse']:.4f} m, "
               f"{r['rot_rmse_deg']:.4f} deg")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    """The reference's evo protocol (README.md:64-72): run the pipeline
+    variants on ONE sequence, write TUM + KITTI trajectories, and score
+    every variant against the GT-seg run (00_Seg is evo's --ref)."""
+    import os
+
+    from ssf_slam_tpu.engine import ate_rmse, rpe, write_tum
+    from ssf_slam_tpu.utils.poses import tum_file_to_kitti
+
+    variants = args.variants.split(",")
+    if "seg" not in variants:
+        variants = ["seg"] + variants  # the reference trajectory
+    frames = _load_frames(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    results = {}
+    for v in variants:
+        times, pos, quat = _run_variant(frames, v, args)
+        tum = os.path.join(args.out_dir, f"00_{v.upper()}.tum")
+        write_tum(tum, times, pos, quat)
+        tum_file_to_kitti(tum, tum.replace(".tum", ".kitti"))
+        results[v] = (pos, quat)
+        print(f"[{v}] wrote {tum}", file=sys.stderr)
+
+    ref_pos, ref_quat = results["seg"]
+    have_gt = args.synthetic and "pose1" in frames[0]
+    if have_gt:
+        gt_pos = np.stack([f["pose1"][1] for f in frames])
+        gt_rot = np.stack([f["pose1"][0] for f in frames])
+
+    hdr = "| variant | ATE vs Seg (m) | RPE trans (m) | RPE rot (deg) |"
+    if have_gt:
+        hdr += " ATE vs GT (m) |"
+    print(hdr)
+    print("|" + "---|" * (hdr.count("|") - 1))
+    for v in variants:
+        pos, quat = results[v]
+        if v == "seg":
+            row = f"| {v} | (reference) | | |"
+            if have_gt:
+                row += f" {ate_rmse(pos, gt_pos):.4f} |"
+        else:
+            r = rpe(pos, quat, ref_pos, ref_quat)
+            row = (f"| {v} | {ate_rmse(pos, ref_pos):.4f} "
+                   f"| {r['trans_rmse']:.4f} | {r['rot_rmse_deg']:.4f} |")
+            if have_gt:
+                row += f" {ate_rmse(pos, gt_pos):.4f} |"
+        print(row)
     return 0
 
 
@@ -180,7 +284,18 @@ def main(argv=None) -> int:
         sp.add_argument("--n-points", type=int, default=8192)
         sp.add_argument("--n-moving", type=int, default=4)
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--trajectory", default="street",
+                        choices=["street", "loop"],
+                        help="synthetic ego path; 'loop' revisits (exercises "
+                             "loop closure)")
         sp.add_argument("--ckpt", default=None)
+        sp.add_argument("--resample", type=int, default=1,
+                        help="test-time permutation-ensemble size "
+                             "(main_sju_occ_ros.py:196-216)")
+        sp.add_argument("--net-dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"])
+        sp.add_argument("--neighbor-backend", default="banded",
+                        choices=["banded", "xla"])
         sp.add_argument(
             "--variant", default="seg",
             choices=["onlypc", "seg", "noseg", "sf", "ssf"],
@@ -201,6 +316,17 @@ def main(argv=None) -> int:
     sp = sub.add_parser("eval-flow", help="scene-flow EPE metrics")
     common(sp)
     sp.set_defaults(fn=cmd_eval_flow)
+
+    sp = sub.add_parser(
+        "evaluate",
+        help="evo protocol: run variants on one sequence, write TUM+KITTI "
+             "trajectories, score against the Seg reference run",
+    )
+    common(sp)
+    sp.add_argument("--variants", default="onlypc,noseg,sf,ssf",
+                    help="comma-separated; seg is always added as reference")
+    sp.add_argument("--out-dir", default="results")
+    sp.set_defaults(fn=cmd_evaluate)
 
     args = p.parse_args(argv)
     if not args.synthetic and args.dataset is None:

@@ -172,6 +172,12 @@ class FlowNetConfig:
     use_bn: bool = True  # BatchNorm in SA/UpConv (utils/utils.py:200)
     joint_seg: bool = False  # add_Seg_after_FLow: 4-channel flow+seg head
     dtype: str = "float32"  # compute dtype for the net ("bfloat16" for perf)
+    # neighbor engine: "xla" (exact-ish approx_max_k path) or "banded"
+    # (Morton-sorted Pallas kernels, ops/banded.py — the TPU fast path).
+    # "banded" Morton-sorts the clouds at the stem and restores input order
+    # on the outputs; results are approximate-kNN like "xla" but ~3x faster.
+    neighbor_backend: str = "xla"
+    morton_extent: float = 64.0  # half-extent (m) of the Morton code box
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,6 +185,10 @@ class LossConfig:
     """multiScaleLoss. Reference: TFlowV3_Occlussion.py:199-220."""
 
     alpha: Tuple[float, ...] = (0.02, 0.04, 0.08, 0.16)
+    seg_weight: float = 1.0  # BCE scale for the joint-seg head
+    # inverse-frequency (static, moving) class weights for the seg BCE
+    # (labelweights, my_carla.py:379-393); None = unweighted
+    seg_class_weights: Tuple[float, float] | None = None
 
 
 @dataclasses.dataclass(frozen=True)

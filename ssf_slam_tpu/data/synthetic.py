@@ -241,6 +241,40 @@ def _serpentine(step: int, n_steps: int, radius: float = 30.0):
     return np.array([x, y, 1.8]), float(yaw)
 
 
+def _out_and_back(step: int, n_steps: int, radius: float = 30.0):
+    """Closed-circuit trajectory: drive down the street, U-turn, drive back.
+
+    Revisits the outbound lane ~4 m away on the return leg, so the
+    loop-closure search (radius 15 m, >20 s separation,
+    src/mapOptmization.cpp:168-198) fires near the end of the sequence —
+    the serpentine street drive never revisits, which is why round-1 chip
+    runs never closed a loop. Stays inside the |y| < 5 clear corridor.
+    """
+    del radius
+    speed = 1.2
+    n_turn = 14
+    n_leg = max((n_steps + 1 - n_turn) // 2, 1)
+    turn_r = 2.0
+    x0, y_out, z = -45.0, -2.0, 1.8
+    if step < n_leg:  # outbound
+        return np.array([x0 + speed * step, y_out, z]), 0.0
+    if step < n_leg + n_turn:  # U-turn (left semicircle)
+        th = np.pi * (step - n_leg + 1) / (n_turn + 1)  # 0..pi
+        cx = x0 + speed * (n_leg - 1)
+        x = cx + turn_r * np.sin(th)
+        y = y_out + turn_r * (1.0 - np.cos(th))
+        return np.array([x, y, z]), float(th)
+    # return leg
+    k = step - n_leg - n_turn + 1
+    return (
+        np.array([x0 + speed * (n_leg - 1) - speed * k, y_out + 2 * turn_r, z]),
+        float(np.pi),
+    )
+
+
+TRAJECTORIES = {"street": _serpentine, "loop": _out_and_back}
+
+
 def generate_sequence(
     n_frames: int = 40,
     n_points: int = 8192,
@@ -261,7 +295,11 @@ def generate_sequence(
     """
     rng = np.random.default_rng(seed)
     world = SyntheticWorld.traffic_scene(rng, n_moving=n_moving)
-    traj = trajectory or (lambda k: _serpentine(k, n_frames, radius))
+    if isinstance(trajectory, str):
+        traj_fn = TRAJECTORIES[trajectory]
+        traj = lambda k: traj_fn(k, n_frames, radius)  # noqa: E731
+    else:
+        traj = trajectory or (lambda k: _serpentine(k, n_frames, radius))
 
     # cast dense (like a real sensor), then random-subsample to n_points —
     # exactly the density regime of the reference's CARLA npz frames

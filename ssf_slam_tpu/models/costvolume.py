@@ -21,8 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from ssf_slam_tpu.models.layers import LEAKY_RATE, PointMLP
-from ssf_slam_tpu.ops.grouping import group_points
-from ssf_slam_tpu.ops.knn import knn
+from ssf_slam_tpu.ops.neighbors import (
+    nn_knn_group,
+    nn_regroup,
+    nn_scatter_softmax_sum,
+)
 
 Array = jax.Array
 
@@ -62,6 +65,8 @@ class AttentiveCostVolume(nn.Module):
     out_channels: int = 3
     flow_clamp: float = 50.0
     dtype: jnp.dtype = jnp.float32
+    backend: str = "xla"
+    extent: float = 64.0
 
     @nn.compact
     def __call__(
@@ -74,6 +79,7 @@ class AttentiveCostVolume(nn.Module):
         sf: Array | None = None,  # [B, N1, 3|4] coarse flow
         sf_feat: Array | None = None,  # [B, N1, Dsf]
         train: bool = False,
+        box=None,
     ) -> tuple[Array, Array, Array, Array]:
         b, n1 = xyz1.shape[0], xyz1.shape[1]
         n2 = xyz2.shape[1]
@@ -87,8 +93,9 @@ class AttentiveCostVolume(nn.Module):
             [xyz2, points2.astype(xyz2.dtype)], -1
         )  # fused gathers: positions + features share the index sets
 
-        _, knn_idx = knn(query, xyz2, k, approx=True)
-        grouped = group_points(xyz2_and_feats, knn_idx)
+        knn_idx, grouped, plan_a, params_a = nn_knn_group(
+            query, xyz2, xyz2_and_feats, k,
+            backend=self.backend, extent=self.extent, box=box)
         direction_xyz = grouped[..., :3] - xyz1[..., None, :]
         p1_tiled = jnp.broadcast_to(
             points1[..., None, :], points1.shape[:2] + (k, points1.shape[-1])
@@ -98,9 +105,11 @@ class AttentiveCostVolume(nn.Module):
         )
         q_feat = PointMLP(self.mlp, dtype=self.dtype, name="mlp_q")(q_in, train)
 
-        _, knn_idxw = knn(xyz1, xyz2w, k, approx=True)
-        # NOTE: the reference gathers xyz2 (not xyz2w) here (soflow.py:407)
-        groupedw = group_points(xyz2_and_feats, knn_idxw)
+        # NOTE: the reference gathers xyz2 (not xyz2w) here (soflow.py:407);
+        # xyz2w is row-aligned with xyz2, so the fused gather stays valid
+        knn_idxw, groupedw, plan_b, params_b = nn_knn_group(
+            xyz1, xyz2w, xyz2_and_feats, k,
+            backend=self.backend, extent=self.extent, box=box)
         direction_xyzw = groupedw[..., :3] - xyz1[..., None, :]
         k_in = jnp.concatenate(
             [p1_tiled, groupedw[..., 3:].astype(points2.dtype)], -1
@@ -165,15 +174,12 @@ class AttentiveCostVolume(nn.Module):
         cost_fwd = jnp.sum(weights1 * q_cost, axis=-2)  # [B, N1, C]
 
         # --- backward cost: scatter-softmax onto pc2 (:471-484)
-        flat_ids = knn_idxw.reshape(b, n1 * k)
-        flat_kc = k_cost.reshape(b, n1 * k, c)
-        flat_wk = w_k.reshape(b, n1 * k, 1)
-        cost_bwd = jax.vmap(
-            lambda v, w, i: _segment_softmax_sum(v, w, i, n2)
-        )(flat_kc, flat_wk, flat_ids)  # [B, N2, C]
+        cost_bwd = nn_scatter_softmax_sum(
+            k_cost, w_k[..., 0], knn_idxw, n2, plan_b, params_b
+        ).astype(k_cost.dtype)  # [B, N2, C]
 
         # --- patch-to-patch grouping + MLP + max (:489-509)
-        grouped_bwd = group_points(cost_bwd, knn_idx)  # [B, N1, K, C]
+        grouped_bwd = nn_regroup(cost_bwd, knn_idx, plan_a, params_a)
         grouped_fwd = jnp.broadcast_to(
             cost_fwd[..., None, :], cost_fwd.shape[:2] + (k, c)
         )

@@ -20,9 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ssf_slam_tpu.ops.fps import farthest_point_sample
-from ssf_slam_tpu.ops.grouping import gather_points, group_points
-from ssf_slam_tpu.ops.interp import idw_weights
-from ssf_slam_tpu.ops.knn import knn
+from ssf_slam_tpu.ops.grouping import gather_points
+from ssf_slam_tpu.ops.neighbors import nn_knn_group, nn_knn_idw
 
 Array = jax.Array
 
@@ -66,6 +65,8 @@ class SetAbstraction(nn.Module):
     mlp: Sequence[int]
     use_bn: bool = True
     dtype: jnp.dtype = jnp.float32
+    backend: str = "xla"
+    extent: float = 64.0
 
     @nn.compact
     def __call__(
@@ -74,14 +75,19 @@ class SetAbstraction(nn.Module):
         feats: Array,  # [B, N, C]
         train: bool = False,
         fps_idx: Array | None = None,
+        box=None,
     ) -> tuple[Array, Array, Array]:
         if fps_idx is None:
             fps_idx = farthest_point_sample(xyz, self.npoint)  # [B, S]
+            # ascending order preserves the Morton-sorted invariant the
+            # banded neighbor engine relies on (a sorted subset of a sorted
+            # array stays sorted); order is semantically irrelevant otherwise
+            fps_idx = jnp.sort(fps_idx, axis=-1)
         new_xyz = gather_points(xyz, fps_idx)  # [B, S, 3]
-        _, idx = knn(new_xyz, xyz, self.nsample, approx=True)  # [B, S, K]
-        # single fused gather: gathers dominate runtime on TPU, and xyz/feats
-        # share the index set
-        grouped = group_points(jnp.concatenate([xyz, feats], -1), idx)
+        # fused kNN + gather: xyz/feats share the index set
+        idx, grouped, _, _ = nn_knn_group(
+            new_xyz, xyz, jnp.concatenate([xyz, feats], -1), self.nsample,
+            backend=self.backend, extent=self.extent, box=box)
         pos_diff = grouped[..., :3] - new_xyz[..., None, :]
         x = jnp.concatenate([pos_diff, grouped[..., 3:]], axis=-1)
         x = PointMLP(self.mlp, use_bn=self.use_bn, leaky=False,
@@ -102,6 +108,8 @@ class SetUpConv(nn.Module):
     mlp2: Sequence[int]
     use_bn: bool = True
     dtype: jnp.dtype = jnp.float32
+    backend: str = "xla"
+    extent: float = 64.0
 
     @nn.compact
     def __call__(
@@ -111,11 +119,13 @@ class SetUpConv(nn.Module):
         dense_feats: Array | None,  # [B, N, C1] skip
         sparse_feats: Array,  # [B, S, C2]
         train: bool = False,
+        box=None,
     ) -> Array:
-        _, idx = knn(dense_xyz, sparse_xyz, self.nsample, approx=True)  # [B, N, K]
-        grouped = group_points(
-            jnp.concatenate([sparse_xyz, sparse_feats], -1), idx
-        )  # fused gather (co-indexed)
+        idx, grouped, _, _ = nn_knn_group(
+            dense_xyz, sparse_xyz,
+            jnp.concatenate([sparse_xyz, sparse_feats], -1), self.nsample,
+            backend=self.backend, extent=self.extent,
+            box=box)  # fused, co-indexed
         pos_diff = grouped[..., :3] - dense_xyz[..., None, :]
         x = jnp.concatenate([grouped[..., 3:], pos_diff], axis=-1)
         if self.mlp:
@@ -136,12 +146,13 @@ def upsample_flow(
     sparse_flow: Array,
     k: int = 3,
     clamp: float = 100.0,
+    backend: str = "xla",
+    extent: float = 64.0,
+    box=None,
 ) -> Array:
     """Inverse-distance kNN feature/flow upsampling (soflow.py:1442-1475)."""
-    d, idx = knn(dense_xyz, sparse_xyz, k, approx=True)
-    w = idw_weights(d)
-    grouped = group_points(sparse_flow, idx)
-    out = jnp.sum(w[..., None] * grouped, axis=-2)
+    out = nn_knn_idw(dense_xyz, sparse_xyz, sparse_flow, k,
+                     backend=backend, extent=extent, box=box)
     return jnp.clip(out, -clamp, clamp)
 
 
@@ -151,6 +162,9 @@ def upsample_multi(
     fields: Sequence[Array],
     k: int = 3,
     clamp: float = 100.0,
+    backend: str = "xla",
+    extent: float = 64.0,
+    box=None,
 ) -> list:
     """Upsample several co-located fields with ONE kNN + ONE gather.
 
@@ -158,11 +172,10 @@ def upsample_multi(
     between the same point sets; sharing the neighbor search and fusing the
     gathers removes the dominant per-level cost.
     """
-    d, idx = knn(dense_xyz, sparse_xyz, k, approx=True)
-    w = idw_weights(d)
     cat = jnp.concatenate(list(fields), axis=-1)
-    grouped = group_points(cat, idx)
-    out = jnp.clip(jnp.sum(w[..., None] * grouped, axis=-2), -clamp, clamp)
+    out = nn_knn_idw(dense_xyz, sparse_xyz, cat, k,
+                     backend=backend, extent=extent, box=box)
+    out = jnp.clip(out, -clamp, clamp)
     splits, parts = 0, []
     for f in fields:
         parts.append(out[..., splits:splits + f.shape[-1]])
@@ -176,17 +189,21 @@ def point_warping(
     flow1: Array | None,
     nsample: int = 3,
     clamp: float = 10.0,
+    backend: str = "xla",
+    extent: float = 64.0,
+    box=None,
 ) -> Array:
     """Warp pos2 backward by flow interpolated at pos2 (soflow.py:1222-1257).
 
     pos1 + flow1 -> kNN onto pos2 -> inverse-distance flow interpolation ->
-    pos2 - interp_flow, clamped.
+    pos2 - interp_flow, clamped. On the banded path the target cloud
+    (pos1 + flow) is only NEAR-Morton-sorted — flows are small relative to
+    the band width, so the band plan stays valid (quality-checked in
+    tests/test_banded.py).
     """
     if flow1 is None:
         return pos2
     pos1_to_2 = pos1 + flow1[..., :3]
-    d, idx = knn(pos2, pos1_to_2, nsample, approx=True)
-    w = idw_weights(d)
-    grouped_flow = group_points(flow1, idx)
-    flow2 = jnp.sum(w[..., None] * grouped_flow, axis=-2)
+    flow2 = nn_knn_idw(pos2, pos1_to_2, flow1, nsample,
+                       backend=backend, extent=extent, box=box)
     return jnp.clip(pos2 - flow2[..., :3], -clamp, clamp)

@@ -37,3 +37,40 @@ def flow_metrics(
         epe3d=epe, acc3d_strict=acc_strict, acc3d_relax=acc_relax,
         outlier=outlier,
     )
+
+
+def seg_metrics(
+    logits: Array,  # [B, N] moving-class logits (joint_seg 4th channel)
+    labels: Array,  # [B, N] 0/1 moving labels
+    mask: Array | None = None,  # [B, N] validity
+) -> dict:
+    """Segmentation quality for the joint flow+seg head.
+
+    The reference's P6 logs per-class segmentation accuracy for its
+    PointNet2 classifier (main_sju_occ_addSeg_Pointnet2_ros.py eval block);
+    here: overall accuracy, per-class IoU (static / moving), and mean IoU,
+    masked. Counts pool over the whole batch (moving points are rare; a
+    per-row mean would be dominated by empty rows).
+    """
+    if mask is None:
+        mask = jnp.ones(logits.shape, logits.dtype)
+    m = mask.astype(jnp.float32)
+    pred = (logits > 0.0).astype(jnp.float32)
+    y = labels.astype(jnp.float32)
+
+    acc = jnp.sum((pred == y).astype(jnp.float32) * m) / jnp.maximum(
+        jnp.sum(m), 1.0)
+
+    def iou(p, t):
+        inter = jnp.sum(p * t * m)
+        union = jnp.sum(jnp.maximum(p, t) * m)
+        return inter / jnp.maximum(union, 1.0)
+
+    iou_moving = iou(pred, y)
+    iou_static = iou(1.0 - pred, 1.0 - y)
+    return dict(
+        seg_acc=acc,
+        iou_static=iou_static,
+        iou_moving=iou_moving,
+        miou=0.5 * (iou_static + iou_moving),
+    )

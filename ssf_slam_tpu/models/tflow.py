@@ -32,6 +32,7 @@ from ssf_slam_tpu.models.layers import (
     upsample_multi,
 )
 from ssf_slam_tpu.ops.grouping import gather_points
+from ssf_slam_tpu.ops.neighbors import cloud_box, invert_permutation, morton_sort
 
 Array = jax.Array
 
@@ -52,6 +53,21 @@ class TFlow(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         out_ch = 4 if cfg.joint_seg else 3
         bn = cfg.use_bn
+        backend = cfg.neighbor_backend
+        extent = cfg.morton_extent
+
+        # Morton-sort both clouds at the stem so every level satisfies the
+        # banded neighbor engine's sorted invariant (FPS subsets of a sorted
+        # array, taken in ascending index order, stay sorted). The finest
+        # flow is un-sorted back to input order below; the FPS index chain is
+        # composed with the permutation so multi_scale_loss subsamples GT
+        # consistently.
+        perm1 = None
+        box = None
+        if backend == "banded":
+            box = cloud_box(pc1, pc2)  # shared adaptive Morton box
+            pc1, perm1 = morton_sort(pc1, box=box)
+            pc2, _ = morton_sort(pc2, box=box)
 
         # shared stem (TFlowV3_Occlussion.py:68,113-117)
         point_conv = PointMLP((32, 32), dtype=dtype, name="point_conv")
@@ -66,128 +82,156 @@ class TFlow(nn.Module):
                 mlp=cfg.sa_mlps[i],
                 use_bn=bn,
                 dtype=dtype,
+                backend=backend,
+                extent=extent,
                 name=f"sa{i + 1}",
             )
             for i in range(4)
         ]
-        l1_pc1, l1_f1, l1_idx = sa[0](pc1, feats1, train)
-        l1_pc2, l1_f2, _ = sa[0](pc2, feats2, train)
-        l2_pc1, l2_f1, l2_idx = sa[1](l1_pc1, l1_f1, train)
-        l2_pc2, l2_f2, _ = sa[1](l1_pc2, l1_f2, train)
-        l3_pc1, l3_f1, l3_idx = sa[2](l2_pc1, l2_f1, train)
-        l3_pc2, l3_f2, _ = sa[2](l2_pc2, l2_f2, train)
-        l4_pc1, l4_f1, _ = sa[3](l3_pc1, l3_f1, train)
-        l4_pc2, l4_f2, _ = sa[3](l3_pc2, l3_f2, train)
+        l1_pc1, l1_f1, l1_idx = sa[0](pc1, feats1, train, box=box)
+        l1_pc2, l1_f2, _ = sa[0](pc2, feats2, train, box=box)
+        l2_pc1, l2_f1, l2_idx = sa[1](l1_pc1, l1_f1, train, box=box)
+        l2_pc2, l2_f2, _ = sa[1](l1_pc2, l1_f2, train, box=box)
+        l3_pc1, l3_f1, l3_idx = sa[2](l2_pc1, l2_f1, train, box=box)
+        l3_pc2, l3_f2, _ = sa[2](l2_pc2, l2_f2, train, box=box)
+        l4_pc1, l4_f1, _ = sa[3](l3_pc1, l3_f1, train, box=box)
+        l4_pc2, l4_f2, _ = sa[3](l3_pc2, l3_f2, train, box=box)
 
         uk = cfg.upsample_k
         wn = cfg.warp_nsample
 
         # ---- level 3 (coarsest refined level) (:131-135)
         su3 = SetUpConv(min(16, cfg.sa_npoints[3]), (256, 256), (256, 256), use_bn=bn, dtype=dtype,
-                        name="su3")
-        l3_4_f1 = su3(l3_pc1, l4_pc1, l3_f1, l4_f1, train)
-        l3_4_f2 = su3(l3_pc2, l4_pc2, l3_f2, l4_f2, train)
+                        backend=backend, extent=extent, name="su3")
+        l3_4_f1 = su3(l3_pc1, l4_pc1, l3_f1, l4_f1, train, box=box)
+        l3_4_f2 = su3(l3_pc2, l4_pc2, l3_f2, l4_f2, train, box=box)
         cost3 = AttentiveCostVolume(
             cfg.cost_nsample, (256, 256), (128, 128), use_flow=False,
             out_channels=out_ch, flow_clamp=cfg.flow_clamp, dtype=dtype,
-            name="flow3_r",
+            backend=backend, extent=extent, name="flow3_r",
         )
         c_fwd_l3, c_bwd_l3, l3_feats, l3_flow = cost3(
-            l3_pc1, l3_pc2, None, l3_4_f1, l3_4_f2, train=train
+            l3_pc1, l3_pc2, None, l3_4_f1, l3_4_f2, train=train, box=box
         )
 
         # ---- level 2 (:137-153)
         su2 = SetUpConv(min(16, cfg.sa_npoints[2]), (128, 128), (128, 128), use_bn=bn, dtype=dtype,
-                        name="su2")
-        l2_3_f1 = su2(l2_pc1, l3_pc1, l2_f1, l3_4_f1, train)
-        l2_3_f2 = su2(l2_pc2, l3_pc2, l2_f2, l3_4_f2, train)
+                        backend=backend, extent=extent, name="su2")
+        l2_3_f1 = su2(l2_pc1, l3_pc1, l2_f1, l3_4_f1, train, box=box)
+        l2_3_f2 = su2(l2_pc2, l3_pc2, l2_f2, l3_4_f2, train, box=box)
         l2_coarse, l2_sf_feat = upsample_multi(
             l2_pc1, l3_pc1, (l3_flow, l3_feats), k=uk[0],
-            clamp=cfg.upsample_clamp)
+            clamp=cfg.upsample_clamp, backend=backend, extent=extent,
+            box=box)
         deconv3_2 = PointMLP((64,), dtype=dtype, name="deconv3_2")
         c_fwd = jnp.concatenate(
             [l2_3_f1, deconv3_2(upsample_flow(l2_pc1, l3_pc1, c_fwd_l3,
-                                              clamp=cfg.upsample_clamp), train)],
+                                              clamp=cfg.upsample_clamp,
+                                              backend=backend, extent=extent,
+                                              box=box), train)],
             axis=-1,
         )
         c_bwd = jnp.concatenate(
             [l2_3_f2, deconv3_2(upsample_flow(l2_pc2, l3_pc2, c_bwd_l3,
-                                              clamp=cfg.upsample_clamp), train)],
+                                              clamp=cfg.upsample_clamp,
+                                              backend=backend, extent=extent,
+                                              box=box), train)],
             axis=-1,
         )
         pc2w_l2 = point_warping(l2_pc1, l2_pc2, l2_coarse, wn[1],
-                                clamp=cfg.warp_clamp)
+                                clamp=cfg.warp_clamp,
+                                backend=backend, extent=extent, box=box)
         cost2 = AttentiveCostVolume(
             cfg.cost_nsample, (128, 128), (128, 128), use_flow=True,
             out_channels=out_ch, flow_clamp=cfg.flow_clamp, dtype=dtype,
-            name="flow2_r",
+            backend=backend, extent=extent, name="flow2_r",
         )
         c_fwd_l2, c_bwd_l2, l2_feats, l2_flow = cost2(
             l2_pc1, l2_pc2, pc2w_l2, c_fwd, c_bwd, l2_coarse, l2_sf_feat,
-            train=train,
+            train=train, box=box,
         )
 
         # ---- level 1 (:155-171)
         su1 = SetUpConv(min(16, cfg.sa_npoints[1]), (64, 64), (64, 64), use_bn=bn, dtype=dtype,
-                        name="su1")
-        l1_2_f1 = su1(l1_pc1, l2_pc1, l1_f1, l2_3_f1, train)
-        l1_2_f2 = su1(l1_pc2, l2_pc2, l1_f2, l2_3_f2, train)
+                        backend=backend, extent=extent, name="su1")
+        l1_2_f1 = su1(l1_pc1, l2_pc1, l1_f1, l2_3_f1, train, box=box)
+        l1_2_f2 = su1(l1_pc2, l2_pc2, l1_f2, l2_3_f2, train, box=box)
         l1_coarse, l1_sf_feat = upsample_multi(
             l1_pc1, l2_pc1, (l2_flow, l2_feats), k=uk[1],
-            clamp=cfg.upsample_clamp)
+            clamp=cfg.upsample_clamp, backend=backend, extent=extent,
+            box=box)
         deconv2_1 = PointMLP((32,), dtype=dtype, name="deconv2_1")
         c_fwd = jnp.concatenate(
             [l1_2_f1, deconv2_1(upsample_flow(l1_pc1, l2_pc1, c_fwd_l2,
-                                              clamp=cfg.upsample_clamp), train)],
+                                              clamp=cfg.upsample_clamp,
+                                              backend=backend, extent=extent,
+                                              box=box), train)],
             axis=-1,
         )
         c_bwd = jnp.concatenate(
             [l1_2_f2, deconv2_1(upsample_flow(l1_pc2, l2_pc2, c_bwd_l2,
-                                              clamp=cfg.upsample_clamp), train)],
+                                              clamp=cfg.upsample_clamp,
+                                              backend=backend, extent=extent,
+                                              box=box), train)],
             axis=-1,
         )
         pc2w_l1 = point_warping(l1_pc1, l1_pc2, l1_coarse, wn[2],
-                                clamp=cfg.warp_clamp)
+                                clamp=cfg.warp_clamp,
+                                backend=backend, extent=extent, box=box)
         cost1 = AttentiveCostVolume(
             cfg.cost_nsample, (64, 64), (64, 64), use_flow=True,
             out_channels=out_ch, flow_clamp=cfg.flow_clamp, dtype=dtype,
-            name="flow1_r",
+            backend=backend, extent=extent, name="flow1_r",
         )
         c_fwd_l1, c_bwd_l1, l1_feats, l1_flow = cost1(
             l1_pc1, l1_pc2, pc2w_l1, c_fwd, c_bwd, l1_coarse, l1_sf_feat,
-            train=train,
+            train=train, box=box,
         )
 
         # ---- level 0 (full resolution) (:175-187)
         su0 = SetUpConv(min(16, cfg.sa_npoints[0]), (64, 64), (64, 64), use_bn=bn, dtype=dtype,
-                        name="su0")
-        l0_f1 = su0(pc1, l1_pc1, feats1, l1_2_f1, train)
-        l0_f2 = su0(pc2, l1_pc2, feats2, l1_2_f2, train)
+                        backend=backend, extent=extent, name="su0")
+        l0_f1 = su0(pc1, l1_pc1, feats1, l1_2_f1, train, box=box)
+        l0_f2 = su0(pc2, l1_pc2, feats2, l1_2_f2, train, box=box)
         l0_coarse, l0_sf_feat = upsample_multi(
             pc1, l1_pc1, (l1_flow, l1_feats), k=uk[2],
-            clamp=cfg.upsample_clamp)
+            clamp=cfg.upsample_clamp, backend=backend, extent=extent,
+            box=box)
         deconv1_0 = PointMLP((32,), dtype=dtype, name="deconv1_0")
         c_fwd = jnp.concatenate(
             [l0_f1, deconv1_0(upsample_flow(pc1, l1_pc1, c_fwd_l1,
-                                            clamp=cfg.upsample_clamp), train)],
+                                            clamp=cfg.upsample_clamp,
+                                            backend=backend, extent=extent,
+                                            box=box), train)],
             axis=-1,
         )
         c_bwd = jnp.concatenate(
             [l0_f2, deconv1_0(upsample_flow(pc2, l1_pc2, c_bwd_l1,
-                                            clamp=cfg.upsample_clamp), train)],
+                                            clamp=cfg.upsample_clamp,
+                                            backend=backend, extent=extent,
+                                            box=box), train)],
             axis=-1,
         )
         pc2w_l0 = point_warping(pc1, pc2, l0_coarse, wn[3],
-                                clamp=cfg.warp_clamp)
+                                clamp=cfg.warp_clamp,
+                                backend=backend, extent=extent, box=box)
         cost0 = AttentiveCostVolume(
             cfg.cost_nsample, (64, 64), (64, 64), use_flow=True,
             out_channels=out_ch, flow_clamp=cfg.flow_clamp, dtype=dtype,
-            name="flow0_r",
+            backend=backend, extent=extent, name="flow0_r",
         )
         _, _, _, flow = cost0(
             pc1, pc2, pc2w_l0, c_fwd, c_bwd, l0_coarse, l0_sf_feat,
-            train=train,
+            train=train, box=box,
         )
+
+        if perm1 is not None:
+            # finest flow back to the caller's input point order; coarser
+            # levels live at FPS points whose identity rides the composed
+            # index chain, so they need no un-sorting
+            inv = invert_permutation(perm1)
+            flow = jnp.take_along_axis(flow, inv[..., None], axis=-2)
+            l1_idx = jnp.take_along_axis(perm1, l1_idx, axis=-1)
 
         flows = [flow, l1_flow, l2_flow, l3_flow]  # fine -> coarse
         fps_inds = [l1_idx, l2_idx, l3_idx]
@@ -202,13 +246,17 @@ def multi_scale_loss(
     alpha: tuple = (0.02, 0.04, 0.08, 0.16),
     seg_labels: Array | None = None,  # [B, N] 0/1 moving labels (joint_seg)
     seg_weight: float = 1.0,
+    seg_class_weights: tuple | None = None,  # (w_static, w_moving)
 ) -> Array:
     """Masked multi-scale L2 flow loss (TFlowV3_Occlussion.py:199-220).
 
     GT flow and mask are subsampled through the saved FPS index chain. When
     the predictions carry a 4th (segmentation-logit) channel, a BCE term on
     ``seg_labels`` is added per level (the add_Seg variant's loss form,
-    TFlowV3_Occlussion_addSeg.py multiScaleLoss).
+    TFlowV3_Occlussion_addSeg.py multiScaleLoss). ``seg_class_weights``
+    applies inverse-frequency class weights to the BCE — the labelweights
+    mechanism of utils/datasets/my_carla.py:379-393 (moving points are a
+    small minority of street scans; unweighted BCE underfits them).
     """
     gt_flows = [gt_flow]
     gt_masks = [mask]
@@ -232,6 +280,10 @@ def multi_scale_loss(
         if seg_labels is not None and pred.shape[-1] == 4:
             logit = pred[..., 3]
             bce = optax_sigmoid_bce(logit, gt_segs[i]) * gt_masks[i]
+            if seg_class_weights is not None:
+                w0, w1 = seg_class_weights
+                y = gt_segs[i]
+                bce = bce * (w0 * (1.0 - y) + w1 * y)
             total = total + alpha[i] * seg_weight * jnp.mean(
                 jnp.sum(bce, axis=-1)
             )

@@ -45,7 +45,8 @@ _BIG = 1e10
 # ---------------------------------------------------------------------------
 
 
-def _plan(query, points, points_mask, query_tile, wblk, n_blocks, extent):
+def plan_bands(query, points, points_mask, query_tile, wblk, n_blocks,
+               extent, box=None):
     """Shared host-side setup: band block indices + valid-count scalar.
 
     Band placement only needs BLOCK-granular ranks, so instead of ranking
@@ -54,13 +55,21 @@ def _plan(query, points, points_mask, query_tile, wblk, n_blocks, extent):
     element: tiles are Morton-contiguous, so it is the spatial median) and
     rank it against the n_blocks_total BLOCK-BOUNDARY codes — an
     [n_tiles x n_blocks_total] comparison, microseconds.
+
+    Returns (b0 [n_tiles] int32 first-block index, n_valid [1] int32). The
+    plan is reusable by every kernel in this module that shares the same
+    (query, points) pair — banded_knn* produce indices guaranteed to lie in
+    [b0*wblk, (b0+n_blocks)*wblk), which banded_regroup / banded_scatter_add
+    exploit.
     """
     m = points.shape[0]
     assert m % wblk == 0, f"target count {m} not a multiple of wblk={wblk}"
     assert query.shape[0] % query_tile == 0
+    origin, scale = box if box is not None else (None, None)
     qmid = query[query_tile // 2::query_tile]  # [n_tiles, 3]
-    qc = morton_codes(qmid, extent)
-    bc = morton_codes(points[::wblk], extent)  # block-boundary codes
+    qc = morton_codes(qmid, extent, origin=origin, scale=scale)
+    bc = morton_codes(points[::wblk], extent, origin=origin,
+                      scale=scale)  # block-boundary codes
     if points_mask is not None:
         bc = jnp.where(points_mask[::wblk], bc, jnp.uint32(0xFFFFFFFF))
         n_valid = jnp.sum(points_mask.astype(jnp.int32))
@@ -193,12 +202,13 @@ def banded_knn(
     n_blocks: int = 3,
     extent: float = 64.0,
     interpret: bool = False,
+    plan: tuple[Array, Array] | None = None,
 ) -> tuple[Array, Array]:
     """Banded approximate kNN. Returns (sqdist [N, k], idx [N, k] into the
     SORTED target order), ascending by distance."""
     n = query.shape[0]
-    b0, nv = _plan(query, points, points_mask, query_tile, wblk, n_blocks,
-                   extent)
+    b0, nv = plan if plan is not None else plan_bands(
+        query, points, points_mask, query_tile, wblk, n_blocks, extent)
     n_tiles = n // query_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -257,7 +267,10 @@ def _knn_group_kernel_body(k, wblk, n_blocks, feat_dim, out_dtype):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            g_ref[:, j, :] = gj.astype(out_dtype)
+            # leading-dim slot write: [K, TQ, C] layout keeps the store a
+            # plain 2D block (Mosaic rejects the (TQ,C)->(TQ,1,C) shape cast
+            # a middle-dim write would need, at least for bf16)
+            g_ref[j] = gj.astype(out_dtype)
 
     return kernel
 
@@ -278,6 +291,7 @@ def banded_knn_group(
     n_blocks: int = 3,
     extent: float = 64.0,
     interpret: bool = False,
+    plan: tuple[Array, Array] | None = None,
 ) -> tuple[Array, Array, Array]:
     """Fused banded kNN + neighborhood grouping.
 
@@ -286,8 +300,8 @@ def banded_knn_group(
     """
     n = query.shape[0]
     c = feats.shape[-1]
-    b0, nv = _plan(query, points, points_mask, query_tile, wblk, n_blocks,
-                   extent)
+    b0, nv = plan if plan is not None else plan_bands(
+        query, points, points_mask, query_tile, wblk, n_blocks, extent)
     n_tiles = n // query_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -303,7 +317,7 @@ def banded_knn_group(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((query_tile, k), lambda i, b0, nv: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile, k, c), lambda i, b0, nv: (i, 0, 0),
+            pl.BlockSpec((k, query_tile, c), lambda i, b0, nv: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -312,12 +326,12 @@ def banded_knn_group(
         out_shape=[
             jax.ShapeDtypeStruct((n, k), jnp.float32),
             jax.ShapeDtypeStruct((n, k), jnp.int32),
-            jax.ShapeDtypeStruct((n, k, c), feats.dtype),
+            jax.ShapeDtypeStruct((k, n, c), feats.dtype),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(b0, nv, query, *([points] * n_blocks), *([feats] * n_blocks))
-    return d, idx, grouped
+    return d, idx, jnp.swapaxes(grouped, 0, 1)
 
 
 def _knn_idw_kernel_body(k, wblk, n_blocks, feat_dim, out_dtype, eps):
@@ -326,7 +340,7 @@ def _knn_idw_kernel_body(k, wblk, n_blocks, feat_dim, out_dtype, eps):
     def kernel(b0_ref, nv_ref, q_ref, *rest):
         t_refs = rest[:n_blocks]
         f_refs = rest[n_blocks:2 * n_blocks]
-        o_ref = rest[2 * n_blocks]
+        o_ref, d_ref, i_ref = rest[2 * n_blocks:]
         i = pl.program_id(0)
         base = b0_ref[i] * wblk
         t = jnp.concatenate([r[:] for r in t_refs], axis=0)
@@ -355,6 +369,8 @@ def _knn_idw_kernel_body(k, wblk, n_blocks, feat_dim, out_dtype, eps):
             preferred_element_type=jnp.float32,
         )
         o_ref[:] = out.astype(out_dtype)
+        d_ref[:] = dk
+        i_ref[:] = ik
 
     return kernel
 
@@ -376,17 +392,20 @@ def banded_knn_idw(
     extent: float = 64.0,
     eps: float = 1e-2,
     interpret: bool = False,
-) -> Array:
+    plan: tuple[Array, Array] | None = None,
+) -> tuple[Array, Array, Array]:
     """Fused banded kNN + inverse-distance-weighted interpolation.
 
-    Returns [N, C] = sum_j idw_weight_j * feats[idx_j] — the
-    upsample_flow / point_warping inner loop (soflow.py:1442-1475,1222-1257)
-    in one kernel with no materialized neighbor tensors.
+    Returns (out [N, C], sqdist [N, k], idx [N, k]): out = sum_j
+    idw_weight_j * feats[idx_j] — the upsample_flow / point_warping inner
+    loop (soflow.py:1442-1475,1222-1257) in one kernel with no materialized
+    neighbor tensors. The (sqdist, idx) pair feeds the custom-VJP residuals
+    (ops/neighbors.py) and costs only two tiny extra output writes.
     """
     n = query.shape[0]
     c = feats.shape[-1]
-    b0, nv = _plan(query, points, points_mask, query_tile, wblk, n_blocks,
-                   extent)
+    b0, nv = plan if plan is not None else plan_bands(
+        query, points, points_mask, query_tile, wblk, n_blocks, extent)
     n_tiles = n // query_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -397,13 +416,174 @@ def banded_knn_idw(
             *_band_specs(wblk, n_blocks, 3),
             *_band_specs(wblk, n_blocks, c),
         ],
-        out_specs=pl.BlockSpec((query_tile, c), lambda i, b0, nv: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((query_tile, c), lambda i, b0, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, k), lambda i, b0, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, k), lambda i, b0, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
     )
-    out = pl.pallas_call(
+    out, d, idx = pl.pallas_call(
         _knn_idw_kernel_body(k, wblk, n_blocks, c, feats.dtype, eps),
-        out_shape=jax.ShapeDtypeStruct((n, c), feats.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), feats.dtype),
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.int32),
+        ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(b0, nv, query, *([points] * n_blocks), *([feats] * n_blocks))
-    return out
+    return out, d, idx
+
+
+def _regroup_kernel_body(k, wblk, n_blocks, feat_dim, out_dtype):
+    wb = wblk * n_blocks
+
+    def kernel(b0_ref, nv_ref, i_ref, *rest):
+        f_refs = rest[:n_blocks]
+        g_ref = rest[n_blocks]
+        i = pl.program_id(0)
+        base = b0_ref[i] * wblk
+        feats = jnp.concatenate([r[:] for r in f_refs], axis=0)  # [WB, C]
+        ik = i_ref[:]  # [TQ, K] absolute indices, guaranteed inside the band
+        tq = ik.shape[0]
+        rel = ik - base
+        band_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, wb), 1)
+        for j in range(k):
+            onehot = (band_iota == rel[:, j:j + 1]).astype(feats.dtype)
+            gj = jax.lax.dot_general(
+                onehot, feats,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            g_ref[j] = gj.astype(out_dtype)  # leading-dim slot write
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("query_tile", "wblk", "n_blocks", "interpret"),
+)
+def banded_regroup(
+    idx: Array,  # [N, K] absolute indices into the sorted target order
+    feats: Array,  # [M, C] co-sorted values to group
+    plan: tuple[Array, Array],  # (b0, n_valid) from plan_bands — the SAME
+    # plan that produced idx (band containment is the correctness contract)
+    query_tile: int = 256,
+    wblk: int = 256,
+    n_blocks: int = 3,
+    interpret: bool = False,
+) -> Array:
+    """Grouping-only kernel: ``out[i, j] = feats[idx[i, j]]``.
+
+    Requires every idx[i, :] to lie inside query-tile i's band
+    [b0*wblk, (b0+n_blocks)*wblk) — true by construction for indices produced
+    by banded_knn/banded_knn_group under the same plan. Out-of-band indices
+    return zeros (the one-hot has no matching column), never garbage.
+    """
+    n, k = idx.shape
+    c = feats.shape[-1]
+    b0, nv = plan
+    n_tiles = n // query_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((query_tile, k), lambda i, b0, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_band_specs(wblk, n_blocks, c),
+        ],
+        out_specs=pl.BlockSpec((k, query_tile, c), lambda i, b0, nv: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _regroup_kernel_body(k, wblk, n_blocks, c, feats.dtype),
+        out_shape=jax.ShapeDtypeStruct((k, n, c), feats.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(b0, nv, idx, *([feats] * n_blocks))
+    return jnp.swapaxes(out, 0, 1)
+
+
+def _scatter_add_kernel_body(k, wblk, n_blocks, feat_dim, mm_dtype):
+    wb = wblk * n_blocks
+
+    def kernel(b0_ref, i_ref, v_ref, o_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        base = b0_ref[i] * wblk
+        ik = i_ref[:]  # [TQ, K]
+        tq = ik.shape[0]
+        rel = ik - base
+        band_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, wb), 1)
+        contrib = jnp.zeros((wb, feat_dim), jnp.float32)
+        for j in range(k):
+            # transposed one-hot: out rows are band positions, so the matmul
+            # contracts over the query tile — an MXU scatter
+            onehot = (band_iota == rel[:, j:j + 1]).astype(mm_dtype)
+            vj = v_ref[j].astype(mm_dtype)  # leading-dim slot read
+            contrib = contrib + jax.lax.dot_general(
+                onehot, vj,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[pl.ds(base, wb), :] += contrib
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_out", "query_tile", "wblk", "n_blocks", "interpret"),
+)
+def banded_scatter_add(
+    idx: Array,  # [N, K] absolute indices into the output rows
+    vals: Array,  # [N, K, C] values to accumulate
+    plan: tuple[Array, Array],  # the plan that produced idx
+    n_out: int,
+    query_tile: int = 256,
+    wblk: int = 256,
+    n_blocks: int = 3,
+    interpret: bool = False,
+) -> Array:
+    """Banded segment-sum: ``out[m] = sum_{i,j: idx[i,j]==m} vals[i,j]``.
+
+    The TPU-native replacement for the torch_scatter backward-cost
+    aggregation (soflow.py:471-484): the output lives resident in VMEM across
+    the whole grid while each query tile adds its band contribution as a
+    transposed one-hot MXU matmul — no HBM scatter traffic at all. Same
+    band-containment contract as banded_regroup. Output is float32.
+    """
+    n, k = idx.shape
+    c = vals.shape[-1]
+    b0, _ = plan
+    n_tiles = n // query_tile
+    # bf16 one-hot matmuls are exact for value copies (1.0 * v = v) but the
+    # CONTRACTION accumulates in f32 via preferred_element_type; use the
+    # value dtype for the multiplicands to halve VMEM pressure
+    mm_dtype = vals.dtype if vals.dtype == jnp.bfloat16 else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((query_tile, k), lambda i, b0: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, query_tile, c), lambda i, b0: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_out, c), lambda i, b0: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _scatter_add_kernel_body(k, wblk, n_blocks, c, mm_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(b0, idx, jnp.swapaxes(vals, 0, 1))

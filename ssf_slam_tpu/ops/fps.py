@@ -57,11 +57,23 @@ def farthest_point_sample(
     if groups > 1:
         chunk = n // groups
         per = npoint // groups
-        gx = xyz.reshape(batch_shape + (groups, chunk, 3))
-        gm = None if mask is None else mask.reshape(batch_shape + (groups, chunk))
+        # STRIDED bucket membership (i % G), not contiguous (i // G): with
+        # randomly-ordered clouds either split is a uniform spatial subset,
+        # but the banded neighbor engine Morton-sorts clouds before the net —
+        # contiguous chunks would then be spatial REGIONS and per-chunk FPS
+        # would sample density-proportionally instead of spreading. Strided
+        # chunks of a Morton-sorted cloud are uniform subsets in both cases.
+        gx = jnp.moveaxis(
+            xyz.reshape(batch_shape + (chunk, groups, 3)), -2, -3
+        )  # [..., groups, chunk, 3]
+        gm = (
+            None if mask is None
+            else jnp.moveaxis(
+                mask.reshape(batch_shape + (chunk, groups)), -1, -2)
+        )
         local = farthest_point_sample(gx, per, gm, groups=1)
-        offset = (jnp.arange(groups, dtype=jnp.int32) * chunk)[:, None]
-        return (local + offset).reshape(batch_shape + (npoint,))
+        offset = jnp.arange(groups, dtype=jnp.int32)[:, None]
+        return (local * groups + offset).reshape(batch_shape + (npoint,))
 
     flat = xyz.reshape((-1, n, 3))
     flat_mask = None if mask is None else mask.reshape((-1, n))

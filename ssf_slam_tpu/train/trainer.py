@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from ssf_slam_tpu.config import LossConfig, TrainConfig
-from ssf_slam_tpu.models.metrics import flow_metrics
+from ssf_slam_tpu.models.metrics import flow_metrics, seg_metrics
 from ssf_slam_tpu.models.tflow import TFlow, multi_scale_loss
 
 Array = jax.Array
@@ -97,6 +97,8 @@ def make_train_step(
             loss = multi_scale_loss(
                 flows, batch["gt"], batch["mask1"].astype(jnp.float32), fps,
                 alpha=loss_cfg.alpha, seg_labels=seg,
+                seg_weight=loss_cfg.seg_weight,
+                seg_class_weights=loss_cfg.seg_class_weights,
             )
             return loss, (updates["batch_stats"], flows)
 
@@ -122,9 +124,12 @@ def make_eval_step(model: TFlow):
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["pos1"], batch["pos2"], train=False,
         )
-        return flow_metrics(
-            flows[0][..., :3], batch["gt"], batch["mask1"].astype(jnp.float32)
-        )
+        mask = batch["mask1"].astype(jnp.float32)
+        out = flow_metrics(flows[0][..., :3], batch["gt"], mask)
+        if model.cfg.joint_seg and flows[0].shape[-1] == 4:
+            out.update(seg_metrics(
+                flows[0][..., 3], batch["s_fg_mask"], mask))
+        return out
 
     return jax.jit(eval_fn)
 
@@ -194,15 +199,21 @@ def train_scene_flow(
                                lr=float(metrics["lr"]))
         epoch_loss = float(np.mean(losses)) if losses else float("nan")
 
-        epes = []
+        epes, mious = [], []
         for batch in eval_batches_fn():
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             m = eval_fn(state, batch)
             epes.append(float(m["epe3d"]))
+            if "miou" in m:
+                mious.append(float(m["miou"]))
         epoch_epe = float(np.mean(epes)) if epes else float("nan")
         history["train_loss"].append(epoch_loss)
         history["eval_epe"].append(epoch_epe)
         msg = f"epoch {epoch}: loss {epoch_loss:.4f} EPE {epoch_epe:.4f}"
+        if mious:
+            epoch_miou = float(np.mean(mious))
+            history.setdefault("eval_miou", []).append(epoch_miou)
+            msg += f" mIoU {epoch_miou:.4f}"
         if logger is not None:
             logger.cprint(msg)
             logger.metrics(int(state.step), epoch=epoch,

@@ -19,3 +19,10 @@ import jax  # noqa: E402
 # import time, overriding the env var — override it back after import.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache: the heavy engine/model tests compile 8192-pt
+# graphs; caching makes every suite run after the first start in seconds.
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -186,3 +186,26 @@ def test_cli_run_smoke(tmp_path):
 
     t, p, q = read_tum(out)
     assert len(t) == 3
+
+
+def test_cli_evaluate_smoke(tmp_path, capsys):
+    """The evo-protocol table (README.md:64-72 parity): TUM + KITTI files
+    per variant and a Seg-referenced comparison table on stdout."""
+    from ssf_slam_tpu.cli import main
+
+    out_dir = str(tmp_path / "res")
+    rc = main(["evaluate", "--synthetic", "--frames", "3",
+               "--variants", "noseg", "--out-dir", out_dir])
+    assert rc == 0
+    import os
+
+    for name in ("00_SEG.tum", "00_SEG.kitti", "00_NOSEG.tum",
+                 "00_NOSEG.kitti"):
+        assert os.path.exists(os.path.join(out_dir, name)), name
+    table = capsys.readouterr().out
+    assert "| variant |" in table and "| noseg |" in table
+    # KITTI rows are 12 floats (3x4 pose matrices)
+    from ssf_slam_tpu.utils.poses import read_kitti_poses
+
+    mats = read_kitti_poses(os.path.join(out_dir, "00_NOSEG.kitti"))
+    assert mats.shape == (3, 3, 4) or mats.shape == (3, 4, 4)
