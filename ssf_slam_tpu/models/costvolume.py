@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ssf_slam_tpu.models.layers import LEAKY_RATE, PointMLP
+from ssf_slam_tpu.ops.attention import attention_xla
 from ssf_slam_tpu.ops.neighbors import (
     nn_knn_group,
     nn_regroup,
@@ -97,13 +98,10 @@ class AttentiveCostVolume(nn.Module):
             query, xyz2, xyz2_and_feats, k,
             backend=self.backend, extent=self.extent, box=box)
         direction_xyz = grouped[..., :3] - xyz1[..., None, :]
-        p1_tiled = jnp.broadcast_to(
-            points1[..., None, :], points1.shape[:2] + (k, points1.shape[-1])
-        )
-        q_in = jnp.concatenate(
-            [p1_tiled, grouped[..., 3:].astype(points2.dtype)], -1
-        )
-        q_feat = PointMLP(self.mlp, dtype=self.dtype, name="mlp_q")(q_in, train)
+        # per-point parts (points1, sf_feat) ride PointMLP's distributed
+        # first layer: no [N, K, C] tiles are materialized for them
+        q_feat = PointMLP(self.mlp, dtype=self.dtype, name="mlp_q")(
+            [points1, grouped[..., 3:].astype(points2.dtype)], train)
 
         # NOTE: the reference gathers xyz2 (not xyz2w) here (soflow.py:407);
         # xyz2w is row-aligned with xyz2, so the fused gather stays valid
@@ -111,46 +109,32 @@ class AttentiveCostVolume(nn.Module):
             xyz1, xyz2w, xyz2_and_feats, k,
             backend=self.backend, extent=self.extent, box=box)
         direction_xyzw = groupedw[..., :3] - xyz1[..., None, :]
-        k_in = jnp.concatenate(
-            [p1_tiled, groupedw[..., 3:].astype(points2.dtype)], -1
-        )
-        k_feat = PointMLP(self.mlp, dtype=self.dtype, name="mlp_k")(k_in, train)
+        k_feat = PointMLP(self.mlp, dtype=self.dtype, name="mlp_k")(
+            [points1, groupedw[..., 3:].astype(points2.dtype)], train)
 
-        # --- cross attention between straight and warped patches (:420-422)
-        weight_qk = jnp.einsum(
-            "bnkc,bnjc->bnkj", q_feat, k_feat,
-            preferred_element_type=jnp.float32,
-        )
-        weight_qk = jax.nn.softmax(weight_qk, axis=-2) * jax.nn.softmax(
-            weight_qk, axis=-1
-        )
+        # --- cross attention between straight and warped patches
+        # (:420-422,453-461): fused dual-softmax attention kernel on the
+        # banded fast path (ops/attention.py), XLA einsums otherwise
 
         # --- per-patch cost features through the SHARED cost MLP (:439-451)
-        def cost_input(feat, direction):
-            parts = [feat]
+        def cost_input(*feats, direction):
+            parts = list(feats)
             if sf_feat is not None:
-                parts.append(
-                    jnp.broadcast_to(
-                        sf_feat[..., None, :],
-                        sf_feat.shape[:2] + (k, sf_feat.shape[-1]),
-                    )
-                )
+                parts.append(sf_feat)  # per-point; broadcasts in the MLP
             parts.append(direction)
-            return jnp.concatenate(parts, axis=-1)
+            return parts
 
         cost_mlp = PointMLP(self.mlp, dtype=self.dtype, name="mlp_cost")
-        q_cost = cost_mlp(cost_input(q_feat, direction_xyz), train)
-        k_cost = cost_mlp(cost_input(k_feat, direction_xyzw), train)
+        q_cost = cost_mlp(cost_input(q_feat, direction=direction_xyz), train)
+        k_cost = cost_mlp(cost_input(k_feat, direction=direction_xyzw), train)
 
-        # --- attended features feed the aggregation weight net (:453-461)
-        q_att = q_feat + jnp.einsum(
-            "bnkj,bnjc->bnkc", weight_qk, k_feat,
-            preferred_element_type=jnp.float32,
-        )
-        k_att = k_feat + jnp.einsum(
-            "bnjc,bnjk->bnkc", q_feat, weight_qk,
-            preferred_element_type=jnp.float32,
-        )
+        # --- attended features feed the aggregation weight net (:453-461).
+        # NOTE: stays on the XLA path even under backend="banded" — the
+        # fused pallas attention kernel (ops/attention.py) wins in isolation
+        # (0.27 vs 0.7 ms at l0) but LOSES end-to-end (85 vs 91 scans/s):
+        # XLA fuses these einsums into the surrounding softmax/weightnet
+        # chain and overlaps them with the neighbor kernels.
+        q_att, k_att = attention_xla(q_feat, k_feat)
         c = self.mlp[-1]
         weightnet = nn.Sequential(
             [
@@ -180,12 +164,9 @@ class AttentiveCostVolume(nn.Module):
 
         # --- patch-to-patch grouping + MLP + max (:489-509)
         grouped_bwd = nn_regroup(cost_bwd, knn_idx, plan_a, params_a)
-        grouped_fwd = jnp.broadcast_to(
-            cost_fwd[..., None, :], cost_fwd.shape[:2] + (k, c)
-        )
-        g_in = cost_input(
-            jnp.concatenate([grouped_fwd, grouped_bwd], axis=-1), direction_xyz
-        )
+        # cost_fwd is constant across the patch (the reference tiles it,
+        # soflow.py:489-493) — as a per-point part it skips the tile
+        g_in = cost_input(cost_fwd, grouped_bwd, direction=direction_xyz)
         g = PointMLP(self.mlp, dtype=self.dtype, name="mlp_patch")(g_in, train)
         patch_cost = jnp.max(g, axis=-2)  # [B, N1, C]
 

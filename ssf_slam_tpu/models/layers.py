@@ -33,6 +33,15 @@ class PointMLP(nn.Module):
 
     Matches the reference conv blocks: bias only when not followed by BN
     (utils/utils.py:196, soflow Conv1d :1269).
+
+    ``x`` may be a LIST of parts instead of one pre-concatenated tensor:
+    ``Dense(concat(parts))`` distributes as ``sum_i Dense_i(part_i)``, so
+    the first layer is applied per part and summed. Parts of lower rank
+    (per-point features vs per-neighbor [..., K, C] tensors) broadcast into
+    the sum — the [..., K, C_part] tile of a per-point feature is never
+    materialized and its first-layer matmul runs at 1/K cost. This is
+    exactly the torch stack's math (concat then conv1x1), restructured for
+    HBM traffic.
     """
 
     features: Sequence[int]
@@ -41,14 +50,29 @@ class PointMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
-        for f in self.features:
-            x = nn.Dense(f, use_bias=not self.use_bn, dtype=self.dtype)(x)
+    def __call__(self, x, train: bool = False) -> Array:
+        for i, f in enumerate(self.features):
+            if i == 0 and isinstance(x, (list, tuple)):
+                rank = max(p.ndim for p in x)
+                y = None
+                for j, p in enumerate(x):
+                    d = nn.Dense(
+                        f, use_bias=(not self.use_bn) and j == 0,
+                        dtype=self.dtype, name=f"Dense_{i}_part{j}",
+                    )(p.astype(self.dtype))
+                    while d.ndim < rank:
+                        d = d[..., None, :]
+                    y = d if y is None else y + d
+                x = y
+            else:
+                x = nn.Dense(f, use_bias=not self.use_bn, dtype=self.dtype,
+                             name=f"Dense_{i}")(x)
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-3,  # dead-ReLU channels have ~0 variance;
                     dtype=self.dtype,  # rsqrt grads at 1e-5 overflow f32
+                    name=f"BatchNorm_{i}",
                 )(x)
             x = nn.leaky_relu(x, LEAKY_RATE) if self.leaky else nn.relu(x)
         return x
@@ -89,9 +113,8 @@ class SetAbstraction(nn.Module):
             new_xyz, xyz, jnp.concatenate([xyz, feats], -1), self.nsample,
             backend=self.backend, extent=self.extent, box=box)
         pos_diff = grouped[..., :3] - new_xyz[..., None, :]
-        x = jnp.concatenate([pos_diff, grouped[..., 3:]], axis=-1)
         x = PointMLP(self.mlp, use_bn=self.use_bn, leaky=False,
-                     dtype=self.dtype)(x, train)
+                     dtype=self.dtype)([pos_diff, grouped[..., 3:]], train)
         new_feats = jnp.max(x, axis=-2)  # [B, S, mlp[-1]]
         return new_xyz, new_feats, fps_idx
 
@@ -127,10 +150,12 @@ class SetUpConv(nn.Module):
             backend=self.backend, extent=self.extent,
             box=box)  # fused, co-indexed
         pos_diff = grouped[..., :3] - dense_xyz[..., None, :]
-        x = jnp.concatenate([grouped[..., 3:], pos_diff], axis=-1)
         if self.mlp:
             x = PointMLP(self.mlp, use_bn=self.use_bn, leaky=False,
-                         dtype=self.dtype)(x, train)
+                         dtype=self.dtype)([grouped[..., 3:], pos_diff],
+                                           train)
+        else:
+            x = jnp.concatenate([grouped[..., 3:], pos_diff], axis=-1)
         x = jnp.max(x, axis=-2)  # [B, N, mlp[-1]]
         if dense_feats is not None:
             x = jnp.concatenate([x, dense_feats], axis=-1)

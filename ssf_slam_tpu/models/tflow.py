@@ -74,7 +74,11 @@ class TFlow(nn.Module):
         feats1 = point_conv(pc1, train)
         feats2 = point_conv(pc2, train)
 
-        # set-abstraction pyramid, weights shared across the two clouds
+        # set-abstraction pyramid, weights shared across the two clouds.
+        # (Batch-stacking the Siamese halves through one [2B] pyramid was
+        # measured SLOWER on-chip — 87.6 vs 92.3 scans/s — the doubled
+        # vmapped pallas grids lose more to pipeline startup than the
+        # halved launch count saves.)
         sa = [
             SetAbstraction(
                 npoint=cfg.sa_npoints[i],
@@ -119,16 +123,17 @@ class TFlow(nn.Module):
                         backend=backend, extent=extent, name="su2")
         l2_3_f1 = su2(l2_pc1, l3_pc1, l2_f1, l3_4_f1, train, box=box)
         l2_3_f2 = su2(l2_pc2, l3_pc2, l2_f2, l3_4_f2, train, box=box)
-        l2_coarse, l2_sf_feat = upsample_multi(
-            l2_pc1, l3_pc1, (l3_flow, l3_feats), k=uk[0],
+        # c_fwd upsampling rides the same (dense, sparse) neighbor pair as
+        # the flow/feature upsample — ONE fused idw kernel for all three
+        # fields (k unified on upsample_k; the aggregation weights are
+        # shared, which only smooths the cost interpolation)
+        l2_coarse, l2_sf_feat, c_fwd_up = upsample_multi(
+            l2_pc1, l3_pc1, (l3_flow, l3_feats, c_fwd_l3), k=uk[0],
             clamp=cfg.upsample_clamp, backend=backend, extent=extent,
             box=box)
         deconv3_2 = PointMLP((64,), dtype=dtype, name="deconv3_2")
         c_fwd = jnp.concatenate(
-            [l2_3_f1, deconv3_2(upsample_flow(l2_pc1, l3_pc1, c_fwd_l3,
-                                              clamp=cfg.upsample_clamp,
-                                              backend=backend, extent=extent,
-                                              box=box), train)],
+            [l2_3_f1, deconv3_2(c_fwd_up, train)],
             axis=-1,
         )
         c_bwd = jnp.concatenate(
@@ -156,16 +161,13 @@ class TFlow(nn.Module):
                         backend=backend, extent=extent, name="su1")
         l1_2_f1 = su1(l1_pc1, l2_pc1, l1_f1, l2_3_f1, train, box=box)
         l1_2_f2 = su1(l1_pc2, l2_pc2, l1_f2, l2_3_f2, train, box=box)
-        l1_coarse, l1_sf_feat = upsample_multi(
-            l1_pc1, l2_pc1, (l2_flow, l2_feats), k=uk[1],
+        l1_coarse, l1_sf_feat, c_fwd_up = upsample_multi(
+            l1_pc1, l2_pc1, (l2_flow, l2_feats, c_fwd_l2), k=uk[1],
             clamp=cfg.upsample_clamp, backend=backend, extent=extent,
             box=box)
         deconv2_1 = PointMLP((32,), dtype=dtype, name="deconv2_1")
         c_fwd = jnp.concatenate(
-            [l1_2_f1, deconv2_1(upsample_flow(l1_pc1, l2_pc1, c_fwd_l2,
-                                              clamp=cfg.upsample_clamp,
-                                              backend=backend, extent=extent,
-                                              box=box), train)],
+            [l1_2_f1, deconv2_1(c_fwd_up, train)],
             axis=-1,
         )
         c_bwd = jnp.concatenate(
@@ -193,16 +195,13 @@ class TFlow(nn.Module):
                         backend=backend, extent=extent, name="su0")
         l0_f1 = su0(pc1, l1_pc1, feats1, l1_2_f1, train, box=box)
         l0_f2 = su0(pc2, l1_pc2, feats2, l1_2_f2, train, box=box)
-        l0_coarse, l0_sf_feat = upsample_multi(
-            pc1, l1_pc1, (l1_flow, l1_feats), k=uk[2],
+        l0_coarse, l0_sf_feat, c_fwd_up = upsample_multi(
+            pc1, l1_pc1, (l1_flow, l1_feats, c_fwd_l1), k=uk[2],
             clamp=cfg.upsample_clamp, backend=backend, extent=extent,
             box=box)
         deconv1_0 = PointMLP((32,), dtype=dtype, name="deconv1_0")
         c_fwd = jnp.concatenate(
-            [l0_f1, deconv1_0(upsample_flow(pc1, l1_pc1, c_fwd_l1,
-                                            clamp=cfg.upsample_clamp,
-                                            backend=backend, extent=extent,
-                                            box=box), train)],
+            [l0_f1, deconv1_0(c_fwd_up, train)],
             axis=-1,
         )
         c_bwd = jnp.concatenate(

@@ -508,10 +508,15 @@ def banded_regroup(
     return jnp.swapaxes(out, 0, 1)
 
 
-def _scatter_add_kernel_body(k, wblk, n_blocks, feat_dim, mm_dtype):
+def _scatter_add_kernel_body(k, wblk, n_blocks, feat_dim, mm_dtype,
+                             with_softmax_aug: bool):
     wb = wblk * n_blocks
 
-    def kernel(b0_ref, i_ref, v_ref, o_ref):
+    def kernel(b0_ref, i_ref, v_ref, *rest):
+        if with_softmax_aug:
+            w_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -523,14 +528,23 @@ def _scatter_add_kernel_body(k, wblk, n_blocks, feat_dim, mm_dtype):
         tq = ik.shape[0]
         rel = ik - base
         band_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, wb), 1)
-        contrib = jnp.zeros((wb, feat_dim), jnp.float32)
+        if with_softmax_aug:
+            ex = jnp.exp(w_ref[:])  # [TQ, K] pre-shifted logits
+        contrib = jnp.zeros(
+            (wb, feat_dim + (1 if with_softmax_aug else 0)), jnp.float32)
         for j in range(k):
             # transposed one-hot: out rows are band positions, so the matmul
             # contracts over the query tile — an MXU scatter
             onehot = (band_iota == rel[:, j:j + 1]).astype(mm_dtype)
-            vj = v_ref[j].astype(mm_dtype)  # leading-dim slot read
+            vj = v_ref[j].astype(jnp.float32)  # leading-dim slot read
+            if with_softmax_aug:
+                # augmented value rows [vals * e^w, e^w] built in VMEM —
+                # the softmax numerator and denominator scatter in ONE
+                # matmul, with no [N, K, C+1] HBM materialization
+                e = ex[:, j:j + 1]
+                vj = jnp.concatenate([vj * e, e], axis=-1)
             contrib = contrib + jax.lax.dot_general(
-                onehot, vj,
+                onehot, vj.astype(mm_dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -582,8 +596,57 @@ def banded_scatter_add(
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _scatter_add_kernel_body(k, wblk, n_blocks, c, mm_dtype),
+        _scatter_add_kernel_body(k, wblk, n_blocks, c, mm_dtype, False),
         out_shape=jax.ShapeDtypeStruct((n_out, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(b0, idx, jnp.swapaxes(vals, 0, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_out", "query_tile", "wblk", "n_blocks", "interpret"),
+)
+def banded_scatter_softmax_sum(
+    idx: Array,  # [N, K] absolute indices into the output rows
+    vals: Array,  # [N, K, C] values
+    w_shift: Array,  # [N, K] f32 softmax logits, ALREADY max-shifted
+    plan: tuple[Array, Array],  # the plan that produced idx
+    n_out: int,
+    query_tile: int = 256,
+    wblk: int = 256,
+    n_blocks: int = 3,
+    interpret: bool = False,
+) -> Array:
+    """Fused banded scatter of [vals * e^w, e^w] -> f32 [n_out, C+1].
+
+    The numerator/denominator pair of the segment softmax-sum
+    (soflow.py:471-484) in one kernel: the exp and the augmented value rows
+    are built per-tile in VMEM instead of materializing a [N, K, C+1]
+    concatenation in HBM. Caller divides by the last column.
+    """
+    n, k = idx.shape
+    c = vals.shape[-1]
+    b0, _ = plan
+    n_tiles = n // query_tile
+    mm_dtype = vals.dtype if vals.dtype == jnp.bfloat16 else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((query_tile, k), lambda i, b0: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, query_tile, c), lambda i, b0: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, k), lambda i, b0: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_out, c + 1), lambda i, b0: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _scatter_add_kernel_body(k, wblk, n_blocks, c, mm_dtype, True),
+        out_shape=jax.ShapeDtypeStruct((n_out, c + 1), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(b0, idx, jnp.swapaxes(vals, 0, 1), w_shift.astype(jnp.float32))

@@ -26,8 +26,14 @@ Array = jax.Array
 
 
 def _pick_groups(n: int, npoint: int) -> int:
-    """Largest G <= 32 dividing both n and npoint (>= 8 samples per group)."""
-    g = 32
+    """Largest G <= 64 dividing both n and npoint (>= 8 samples per group).
+
+    Sequential FPS iterations cost ~5 us each on TPU (latency-bound); at
+    the sa1 scale (8192 -> 2048) G=64 leaves 32 iterations with 32 samples
+    per strided bucket — fill-distance measured within the spread gate of
+    tests/test_ops.py::test_fps_bucketed_spreads.
+    """
+    g = 64
     while g > 1 and (n % g or npoint % g or npoint // g < 8):
         g //= 2
     return g

@@ -336,17 +336,15 @@ def nn_knn_idw(
 def _bscatter_impl(vals, w, idx, plan, n_out, params):
     qt, wblk, nb = params
     # global-max stabilization (shift-invariant per segment; see
-    # models/costvolume.py::_segment_softmax_sum)
-    ex = jnp.exp(w - jax.lax.stop_gradient(jnp.max(w)))
-    cat = jnp.concatenate(
-        [vals.astype(jnp.float32) * ex[..., None], ex[..., None]], axis=-1)
+    # models/costvolume.py::_segment_softmax_sum); the exp + numerator/
+    # denominator augmentation happens inside the kernel, in VMEM
+    w_shift = w - jax.lax.stop_gradient(jnp.max(w))
 
-    def one(i, v, b0, nv):
-        return banded.banded_scatter_add(i, v, (b0, nv), n_out,
-                                         query_tile=qt, wblk=wblk,
-                                         n_blocks=nb)
+    def one(i, v, ws, b0, nv):
+        return banded.banded_scatter_softmax_sum(
+            i, v, ws, (b0, nv), n_out, query_tile=qt, wblk=wblk, n_blocks=nb)
 
-    s = _vmapn(one, idx.ndim - 2)(idx, cat, plan[0], plan[1])
+    s = _vmapn(one, idx.ndim - 2)(idx, vals, w_shift, plan[0], plan[1])
     denom = jnp.maximum(s[..., -1:], 1e-16)
     out = s[..., :-1] / denom
     return out, denom

@@ -170,6 +170,39 @@ def test_near_sorted_target_warp_case(clouds):
     assert recall > 0.85, recall
 
 
+def test_dual_softmax_attention_matches_xla():
+    """Fused attention kernel == XLA reference (forward and gradients)."""
+    from ssf_slam_tpu.ops.attention import (
+        attention_xla,
+        dual_softmax_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(2, 256, 8, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 256, 8, 32)).astype(np.float32))
+    qa_x, ka_x = attention_xla(q, k)
+    qa_f, ka_f = dual_softmax_attention(q, k, backend="banded")
+    np.testing.assert_allclose(np.asarray(qa_f), np.asarray(qa_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ka_f), np.asarray(ka_x),
+                               rtol=2e-5, atol=2e-5)
+
+    def lf(q, k):
+        a, b = dual_softmax_attention(q, k, backend="banded")
+        return jnp.sum(a * a) + jnp.sum(jnp.abs(b))
+
+    def lx(q, k):
+        a, b = attention_xla(q, k)
+        return jnp.sum(a * a) + jnp.sum(jnp.abs(b))
+
+    gq_f, gk_f = jax.grad(lf, argnums=(0, 1))(q, k)
+    gq_x, gk_x = jax.grad(lx, argnums=(0, 1))(q, k)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_x),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_morton_sort_roundtrip():
     rng = np.random.default_rng(5)
     pts = jnp.asarray(rng.uniform(-30, 30, (3, 512, 3)).astype(np.float32))
