@@ -42,15 +42,22 @@ def _load_frames(args) -> list:
     return [ds[i] for i in range(len(ds))]
 
 
-def _build_model(args, variant: str | None = None):
-    """Construct TFlow (+ checkpoint restore) for the sf/ssf variants."""
+def _build_model(args, variant: str | None = None, joint: bool | None = None):
+    """Construct TFlow (+ checkpoint restore) for the sf/ssf variants.
+
+    A joint flow+seg checkpoint (4-channel head) serves the sf variant too:
+    if restoring into the 3-channel model fails on the head shape, the
+    joint model is rebuilt and the seg channel simply goes unused (the SF
+    path takes flow[..., :3] and segments by GMM).
+    """
     import jax
     import jax.numpy as jnp
 
     from ssf_slam_tpu.config import FlowNetConfig
     from ssf_slam_tpu.models import TFlow
 
-    joint = (variant or args.variant) == "ssf"
+    if joint is None:
+        joint = (variant or args.variant) == "ssf"
     cfg = FlowNetConfig(npoint=args.n_points, joint_seg=joint,
                         dtype=args.net_dtype,
                         neighbor_backend=args.neighbor_backend)
@@ -64,11 +71,16 @@ def _build_model(args, variant: str | None = None):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(
-            os.path.abspath(args.ckpt),
-            dict(params=variables["params"],
-                 batch_stats=variables.get("batch_stats", {})),
-        )
+        try:
+            restored = ckptr.restore(
+                os.path.abspath(args.ckpt),
+                dict(params=variables["params"],
+                     batch_stats=variables.get("batch_stats", {})),
+            )
+        except ValueError:
+            if joint:
+                raise
+            return _build_model(args, variant, joint=True)
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
     else:

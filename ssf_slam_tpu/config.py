@@ -136,7 +136,18 @@ class MappingConfig:
     loop_submap_halfwidth: int = 10  # +-10 keyframes submap (:236)
     icp_max_corr_dist: float = 50.0  # ICP maxCorrespondenceDistance (:241)
     icp_iters: int = 30  # ref runs 100 PCL iters; GN converges much faster
-    icp_fitness_gate: float = 0.2  # fitness < 0.2 accept gate (:250)
+    # Loop-ICP accept gates on mean-SQUARED correspondence distance. The
+    # reference gates at 0.2 (:250) — but it ICPs 0.1 m-voxel FULL clouds,
+    # where perfect alignment gives near-zero NN distances. Here the
+    # keyframe clouds are sparse PLANAR FEATURES (~0.5-1.5 m spacing), so
+    # even exact alignment scores ~0.5-2 m^2; 0.2 rejected every true loop
+    # on the out-and-back circuit (measured). Accept if EITHER the absolute
+    # fitness clears ``icp_fitness_gate`` OR ICP genuinely converged —
+    # post-fitness < icp_rel_improve x pre-fitness (a drifted revisit
+    # starts misaligned, so real alignment shows a large drop). The
+    # fitness-scaled factor noise (:263-275 parity) down-weights weak ones.
+    icp_fitness_gate: float = 1.0
+    icp_rel_improve: float = 0.6
     # (no icp voxel leaf: the reference's downSizeFilterICP (:461) is
     # replaced by the fixed-budget stride subsample in _build_submap)
     submap_points: int = 16384  # padded submap size for loop ICP

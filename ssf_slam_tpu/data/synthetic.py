@@ -75,30 +75,39 @@ class SyntheticWorld:
             c[2] = s[2] / 2
             boxes.append(Box(c, s, np.zeros(3)))
         for _ in range(n_static):
-            # buildings line the street: clear corridor |y| < 8, elongated
-            # facades at 8-22 m lateral distance (CARLA-town-like frontage)
+            # buildings line the street: elongated facades whose INNER EDGE
+            # starts at 5-16 m lateral distance (CARLA-town-like frontage;
+            # near facades keep the along-road axis observable for
+            # registration). Placement is by inner edge, not center:
+            # centering at 8-22 m with up to 12 m depth could push a facade
+            # to |y| = 2, INSIDE the driving corridor — a seed-21 world
+            # boxed the ego in and produced empty scans mid-sequence.
+            s = rng.uniform([10, 4, 3], [30, 12, 9])
+            side = rng.choice([-1.0, 1.0])
+            inner = rng.uniform(5.0, 16.0)
             c = np.array(
                 [
                     rng.uniform(-extent * 0.8, extent * 0.8),
-                    rng.choice([-1.0, 1.0]) * rng.uniform(8.0, 22.0),
+                    side * (inner + s[1] / 2),
                     0.0,
                 ]
             )
-            s = rng.uniform([10, 4, 3], [30, 12, 9])
             c[2] = s[2] / 2
             boxes.append(Box(c, s, np.zeros(3)))
         # street furniture: parked cars / kiosks along the road edges — the
         # near-field structure real streets have, constraining all horizontal
         # directions at close range
         for _ in range(2 * n_static):
+            s = rng.uniform([1.5, 1.5, 1.0], [4.5, 2.2, 2.2])
             c = np.array(
                 [
                     rng.uniform(-extent * 0.9, extent * 0.9),
-                    rng.choice([-1.0, 1.0]) * rng.uniform(5.0, 7.5),
+                    # inner edge >= 4.2 m: clear of the |y| <= 3.5 corridor
+                    rng.choice([-1.0, 1.0]) * (rng.uniform(4.2, 6.5)
+                                               + s[1] / 2),
                     0.0,
                 ]
             )
-            s = rng.uniform([1.5, 1.5, 1.0], [4.5, 2.2, 2.2])
             c[2] = s[2] / 2
             boxes.append(Box(c, s, np.zeros(3)))
         for _ in range(n_moving):
@@ -252,12 +261,19 @@ def _out_and_back(step: int, n_steps: int, radius: float = 30.0):
     """
     del radius
     speed = 1.2
-    n_turn = 14
+    n_turn = 26  # ~7 deg/frame peak yaw rate — scan-to-scan tracks it
     n_leg = max((n_steps + 1 - n_turn) // 2, 1)
-    turn_r = 2.0
+    turn_r = 1.5
     x0, y_out, z = -45.0, -2.0, 1.8
+    # gentle lane weave on both legs: a perfectly straight corridor drive
+    # leaves the along-road axis geometrically unobservable for scan-to-scan
+    # registration (docs/PERFORMANCE.md corridor note); real drivers weave
+    wamp, wfreq = 0.8, 0.25
     if step < n_leg:  # outbound
-        return np.array([x0 + speed * step, y_out, z]), 0.0
+        y = y_out + wamp * np.sin(wfreq * step)
+        dy = wamp * wfreq * np.cos(wfreq * step)
+        return (np.array([x0 + speed * step, y, z]),
+                float(np.arctan2(dy, speed)))
     if step < n_leg + n_turn:  # U-turn (left semicircle)
         th = np.pi * (step - n_leg + 1) / (n_turn + 1)  # 0..pi
         cx = x0 + speed * (n_leg - 1)
@@ -266,9 +282,12 @@ def _out_and_back(step: int, n_steps: int, radius: float = 30.0):
         return np.array([x, y, z]), float(th)
     # return leg
     k = step - n_leg - n_turn + 1
+    y_ret = y_out + 2 * turn_r
+    y = y_ret + wamp * np.sin(wfreq * k)
+    dy = wamp * wfreq * np.cos(wfreq * k)
     return (
-        np.array([x0 + speed * (n_leg - 1) - speed * k, y_out + 2 * turn_r, z]),
-        float(np.pi),
+        np.array([x0 + speed * (n_leg - 1) - speed * k, y, z]),
+        float(np.pi - np.arctan2(dy, speed)),
     )
 
 

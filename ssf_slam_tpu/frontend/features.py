@@ -197,6 +197,12 @@ def extract_plane_features(
         cfg.plane_curv_max_16 if lidar.n_scan_rows == 16 else cfg.plane_curv_max_64
     )
     span = cfg.plane_stride_16 if lidar.n_scan_rows == 16 else cfg.plane_stride_64
+    # NOTE: an adaptive "admit lowest-curvature points when the threshold
+    # starves" floor was tried here and REVERTED: points above the
+    # curvature gate are edges/corners, and plane fits on them bias the
+    # registration (scan-to-self identity drifted 1 cm). A starved frame
+    # (e.g. an empty scan) correctly yields zero features and an
+    # identity-motion step.
     cand = curv < plane_min
     selected = _strided_candidate_select(cand, row, mask, span)
 

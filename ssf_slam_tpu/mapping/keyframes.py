@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ssf_slam_tpu.config import MappingConfig
 from ssf_slam_tpu.mapping.posegraph import solve_pose_graph
 from ssf_slam_tpu.ops.icp import icp_point_to_point
+from ssf_slam_tpu.ops.knn import nearest_neighbor
 from ssf_slam_tpu.ops.se3 import (
     matrix_to_quat,
     pose_between,
@@ -185,7 +186,16 @@ def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
             src, tgt, src_mask, tgt_mask,
             max_corr_dist=cfg.icp_max_corr_dist, iters=cfg.icp_iters,
         )
-        accept = fitness < cfg.icp_fitness_gate
+        # pre-alignment fitness at the current (drifted) pose: the relative
+        # accept rule needs it (see MappingConfig.icp_rel_improve)
+        d2_pre, _ = nearest_neighbor(src, tgt, points_mask=tgt_mask,
+                                     approx=True)
+        w_pre = (src_mask
+                 & (d2_pre < cfg.icp_max_corr_dist ** 2)).astype(src.dtype)
+        fitness_pre = jnp.sum(d2_pre * w_pre) / jnp.maximum(
+            jnp.sum(w_pre), 1.0)
+        accept = (fitness < cfg.icp_fitness_gate) | (
+            fitness < cfg.icp_rel_improve * fitness_pre)
 
         def close(state):
             corr = (matrix_to_quat(r), t_corr)

@@ -127,3 +127,80 @@ def run_sequences_batched(frames_batch: list, cfg: PipelineConfig,
 
     states, outs = jax.jit(jax.vmap(one_sequence))(scans)
     return states, outs
+
+
+def run_sequences_sharded(frames_batch: list, cfg: PipelineConfig,
+                          mesh: Mesh, model=None, variables=None,
+                          use_gmm: bool = False):
+    """PRODUCTION multi-sequence engine: one sequence per device via
+    shard_map (B = mesh size, batch axis sharded 1-per-device).
+
+    Unlike ``run_sequences_batched`` (vmap), lax.cond inside the step stays
+    a REAL branch on each device — the loop-closure ICP executes only on
+    loop events instead of being select-lowered into every frame, which at
+    full scale faulted the device under vmap (docs/PERFORMANCE.md). This is
+    the north-star 64-sequences-per-slice configuration.
+
+    With ``model``/``variables`` given, runs the fused network-in-the-loop
+    SSF/SF step (engine/fused.py); otherwise the GT-flow/geometry variants.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ssf_slam_tpu.engine.pipeline import (
+        init_slam_state,
+        slam_step,
+        stack_scans,
+    )
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert len(frames_batch) == n_dev, (
+        f"need exactly one sequence per device ({n_dev}), "
+        f"got {len(frames_batch)}")
+
+    if model is not None:
+        from ssf_slam_tpu.engine.fused import make_fused_step
+
+        step_fn, run_cfg = make_fused_step(model, variables, cfg, use_gmm)
+        n = cfg.lidar.max_points
+
+        def stack_one(seq):
+            return dict(
+                points=np.stack([f["pos1"][:n] for f in seq]).astype(
+                    np.float32),
+                prev=np.stack(
+                    [seq[max(k - 1, 0)]["pos1"][:n]
+                     for k in range(len(seq))]).astype(np.float32),
+                mask=np.stack([f["mask1"][:n].astype(bool) for f in seq]),
+                prev_mask=np.stack(
+                    [seq[max(k - 1, 0)]["mask1"][:n].astype(bool)
+                     for k in range(len(seq))]),
+                time=np.asarray([f["time"] for f in seq], np.float32),
+            )
+
+        stacked = [stack_one(seq) for seq in frames_batch]
+    else:
+        run_cfg = cfg
+        step_fn = lambda st, sc: slam_step(st, sc, cfg)  # noqa: E731
+        stacked = [stack_scans(seq, cfg) for seq in frames_batch]
+
+    scans = {k: jnp.stack([s[k] for s in stacked]) for k in stacked[0]}
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    scans = {k: jax.device_put(v, sharding) for k, v in scans.items()}
+
+    spec = P(mesh.axis_names[0])
+
+    @jax.jit
+    def run(scans):
+        def per_device(local):  # leading batch dim == 1 on each device
+            seq = jax.tree.map(lambda x: x[0], local)
+            state, outs = jax.lax.scan(step_fn, init_slam_state(run_cfg),
+                                       seq)
+            return jax.tree.map(lambda x: x[None], (state, outs))
+
+        return shard_map(
+            per_device, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_rep=False,
+        )(scans)
+
+    states, outs = run(scans)
+    return states, outs
