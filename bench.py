@@ -16,6 +16,8 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -28,6 +30,14 @@ enable_compilation_cache()
 
 N_POINTS = 8192
 N_FRAMES = 32
+
+# Transient-failure guard: the round-2 driver capture died to a one-off
+# TPU-backend FAILED_PRECONDITION mid-scan (BENCH_r02.json rc=1) that did not
+# reproduce on rerun. A wedged backend cannot be rebuilt in-process, so on
+# any runtime error the bench re-execs itself in a FRESH process (fresh
+# client, fresh tunnel connection) up to _MAX_RETRIES times before failing.
+_RETRY_ENV = "SSF_BENCH_RETRY"
+_MAX_RETRIES = 2
 
 
 def build_pipeline():
@@ -99,5 +109,22 @@ def main() -> None:
     )
 
 
+def main_with_retry() -> None:
+    attempt = int(os.environ.get(_RETRY_ENV, "0"))
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — any backend/runtime flake
+        if attempt >= _MAX_RETRIES:
+            raise
+        print(
+            f"bench attempt {attempt + 1} failed "
+            f"({type(exc).__name__}: {exc}); re-execing fresh process",
+            file=sys.stderr, flush=True,
+        )
+        env = dict(os.environ, **{_RETRY_ENV: str(attempt + 1)})
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+                  env)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()

@@ -16,6 +16,7 @@ import ctypes
 import os
 import struct
 import subprocess
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -48,7 +49,13 @@ def _load_lib(build: bool = True):
                 ["make", "-C", os.path.dirname(path)],
                 check=True, capture_output=True,
             )
-        except Exception:
+        except Exception as exc:
+            detail = ""
+            if isinstance(exc, subprocess.CalledProcessError):
+                detail = (exc.stderr or b"").decode(errors="replace")[-500:]
+            warnings.warn(
+                f"native loader build failed ({exc}); {detail} — "
+                "falling back to the pure-python npz path")
             return None
     if not os.path.exists(path):
         return None
@@ -162,5 +169,5 @@ class SsfbSequence:
     def __del__(self):
         try:
             self.close()
-        except Exception:
-            pass
+        except Exception as exc:  # never raise from __del__, but say why
+            warnings.warn(f"SsfbSequence teardown failed: {exc}")

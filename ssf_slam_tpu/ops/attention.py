@@ -101,14 +101,6 @@ def _attention_pallas_2d(q_feat: Array, k_feat: Array,
     return qa, ka
 
 
-def _can_fuse(q_feat: Array) -> bool:
-    n, k, c = q_feat.shape[-3:]
-    # below ~4096 points the fixed pallas-call overhead (~0.15 ms) exceeds
-    # the kernel's advantage — XLA's fused einsums win there (measured:
-    # fusing all four cost-volume levels was a net loss)
-    return n >= 4096 and n % _TQ == 0 and k <= 32 and c <= 256
-
-
 def _fwd_impl(q_feat, k_feat, interpret):
     f = functools.partial(_attention_pallas_2d, interpret=interpret)
     for _ in range(q_feat.ndim - 3):
@@ -136,13 +128,11 @@ def _attention_fused_bwd(interpret, res, cts):
 _attention_fused.defvjp(_attention_fused_fwd, _attention_fused_bwd)
 
 
-def dual_softmax_attention(
-    q_feat: Array,  # [.., N, K, C]
+def attention_fused(
+    q_feat: Array,  # [.., N, K, C]; N must be a multiple of 256
     k_feat: Array,
-    backend: str = "xla",
     interpret: bool = False,
 ) -> tuple[Array, Array]:
-    """Dispatch: fused Pallas kernel on the banded fast path, XLA otherwise."""
-    if backend != "banded" or not _can_fuse(q_feat):
-        return attention_xla(q_feat, k_feat)
+    """Direct entry to the fused kernel (see STATUS note above: kept as a
+    measured-negative building block, not dispatched by the model)."""
     return _attention_fused(q_feat, k_feat, interpret)

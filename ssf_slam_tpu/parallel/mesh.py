@@ -69,6 +69,8 @@ def make_sharded_train_step(model, tx, mesh: Mesh, cfg: TrainConfig,
             loss = multi_scale_loss(
                 flows, batch["gt"], batch["mask1"].astype(jnp.float32), fps,
                 alpha=loss_cfg.alpha, seg_labels=seg,
+                seg_weight=loss_cfg.seg_weight,
+                seg_class_weights=loss_cfg.seg_class_weights,
             )
             return loss, updates["batch_stats"]
 

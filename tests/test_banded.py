@@ -170,25 +170,25 @@ def test_near_sorted_target_warp_case(clouds):
     assert recall > 0.85, recall
 
 
-def test_dual_softmax_attention_matches_xla():
+def test_fused_attention_matches_xla():
     """Fused attention kernel == XLA reference (forward and gradients)."""
     from ssf_slam_tpu.ops.attention import (
+        attention_fused,
         attention_xla,
-        dual_softmax_attention,
     )
 
     rng = np.random.default_rng(7)
     q = jnp.asarray(rng.normal(size=(2, 256, 8, 32)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(2, 256, 8, 32)).astype(np.float32))
     qa_x, ka_x = attention_xla(q, k)
-    qa_f, ka_f = dual_softmax_attention(q, k, backend="banded")
+    qa_f, ka_f = attention_fused(q, k)
     np.testing.assert_allclose(np.asarray(qa_f), np.asarray(qa_x),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(ka_f), np.asarray(ka_x),
                                rtol=2e-5, atol=2e-5)
 
     def lf(q, k):
-        a, b = dual_softmax_attention(q, k, backend="banded")
+        a, b = attention_fused(q, k)
         return jnp.sum(a * a) + jnp.sum(jnp.abs(b))
 
     def lx(q, k):
