@@ -40,9 +40,8 @@ _RETRY_ENV = "SSF_BENCH_RETRY"
 _MAX_RETRIES = 2
 
 
-def build_pipeline():
+def build_pipeline(scan_points: np.ndarray):
     from ssf_slam_tpu.config import FlowNetConfig, PipelineConfig, Variant
-    from ssf_slam_tpu.engine.pipeline import init_slam_state, slam_step
     from ssf_slam_tpu.models import TFlow
 
     cfg = PipelineConfig(variant=Variant.SSF)
@@ -56,14 +55,20 @@ def build_pipeline():
     pc = jnp.zeros((1, N_POINTS, 3))
     variables = jax.jit(model.init)(rng, pc, pc)
 
-    from ssf_slam_tpu.engine.fused import make_fused_step
+    from ssf_slam_tpu.engine.fused import make_fused_step, sequence_box
 
-    fused_step, run_cfg = make_fused_step(model, variables, cfg)
+    # sequence-stable Morton box: required by tower caching (banded towers
+    # sorted under one box are reusable across scan steps only if every
+    # step shares that box)
+    box = sequence_box(scan_points)
+    fused_step, run_cfg, make_carry = make_fused_step(model, variables, cfg,
+                                                      box=box)
 
-    def run(state, scans):
-        return jax.lax.scan(fused_step, state, scans)
+    def run(scans):
+        carry = make_carry(scans["prev"][0])
+        return jax.lax.scan(fused_step, carry, scans)
 
-    return run_cfg, jax.jit(run), init_slam_state(run_cfg)
+    return run_cfg, jax.jit(run)
 
 
 def main() -> None:
@@ -83,16 +88,16 @@ def main() -> None:
         time=jnp.asarray([f["time"] for f in frames], jnp.float32),
     )
 
-    cfg, run, state0 = build_pipeline()
+    cfg, run = build_pipeline(np.asarray(scans["points"]))
 
     # compile + warmup
-    state, outs = run(state0, scans)
+    _, outs = run(scans)
     jax.block_until_ready(outs["pose_t"])
 
     n_rep = 3
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        state, outs = run(state0, scans)
+        _, outs = run(scans)
         jax.block_until_ready(outs["pose_t"])
     dt = (time.perf_counter() - t0) / n_rep
 

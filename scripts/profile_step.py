@@ -122,16 +122,19 @@ def main():
 
     timeit("slam_step (geometry+map)", run_slam, state0, scans)
 
-    # --- full fused
-    fused_step, fused_cfg = make_fused_step(model, variables, cfg)
-    fstate0 = init_slam_state(fused_cfg)
+    # --- full fused (tower-cached)
+    from ssf_slam_tpu.engine.fused import sequence_box
+
+    box = sequence_box(np.asarray(scans["points"]))
+    fused_step, fused_cfg, make_carry = make_fused_step(model, variables,
+                                                        cfg, box=box)
+    fscans = {k: v for k, v in scans.items() if k != "flow"}
 
     @jax.jit
-    def run_fused(state, sc):
-        return jax.lax.scan(fused_step, state, sc)
+    def run_fused(sc):
+        return jax.lax.scan(fused_step, make_carry(sc["prev"][0]), sc)
 
-    fscans = {k: v for k, v in scans.items() if k != "flow"}
-    timeit("fused (net+slam)", run_fused, fstate0, fscans)
+    timeit("fused (net+slam)", run_fused, fscans)
 
 
 if __name__ == "__main__":

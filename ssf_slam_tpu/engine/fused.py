@@ -8,6 +8,16 @@ equivalent of the reference's two-process GPU->CPU->TCPROS hop
 
 The step consumes (prev_scan, curr_scan) pairs so the estimated motion is
 timestamped at the current frame (see engine/pipeline.py::_frame_motion).
+
+Tower caching: in a scanned sequence, frame k's cloud-1 IS frame k-1's
+cloud-2, so the per-cloud Siamese half (TFlow.tower — stem + SA pyramid +
+up-convs) of the previous scan rides the carry instead of being recomputed.
+The reference recomputes both towers for every pair (main_sju_occ_ros.py:213)
+even though consecutive pairs share a cloud; caching halves the pyramid
+FLOPs per scan at identical numerics. The one requirement: the Morton box
+must be SEQUENCE-stable (a tower sorted under one box is invalid under
+another), so the fused paths use a box covering the whole sequence instead
+of the per-pair adaptive box.
 """
 
 from __future__ import annotations
@@ -21,24 +31,54 @@ import numpy as np
 
 from ssf_slam_tpu.config import PipelineConfig, Variant
 from ssf_slam_tpu.engine.pipeline import SlamState, init_slam_state, slam_step
+from ssf_slam_tpu.models.tflow import TFlow
 
 Array = jax.Array
 
 
-def make_fused_step(model, variables, cfg: PipelineConfig,
-                    use_gmm: bool = False):
-    """Build step(state, scan) with TFlow fused in.
+def sequence_box(all_points: np.ndarray, margin: float = 1.0):
+    """Morton box covering a whole sequence: all_points [..., 3] (any
+    leading dims). Returns (origin [1, 3], scale [1]) shaped for the
+    [B=1, N, 3] tower inputs."""
+    flat = np.asarray(all_points, np.float32).reshape(-1, 3)
+    lo = flat.min(axis=0) - margin
+    span = float((flat.max(axis=0) - lo).max()) + margin
+    return (jnp.asarray(lo[None, :]), jnp.asarray([span], jnp.float32))
+
+
+def make_fused_step(model: TFlow, variables, cfg: PipelineConfig,
+                    use_gmm: bool = False, box=None):
+    """Build the fused step with tower caching.
+
+    Returns ``(fused_step, run_cfg, make_carry)``:
+    - ``fused_step(carry, scan) -> (carry, outputs)`` with
+      ``carry = (SlamState, tower_prev)``;
+    - ``make_carry(first_prev [N, 3]) -> carry`` computes the initial tower
+      (frame 0's "previous" cloud — by convention the first scan itself,
+      giving a self-pair with ~zero flow, matching the reference's skipped
+      frame 0).
 
     scan: {points [N,3], prev [N,3], mask [N], prev_mask [N], time}.
-    use_gmm selects the SF behavior (GMM split on predicted flow) instead of
-    the SSF joint-seg head.
+    ``use_gmm`` selects the SF behavior (GMM split on predicted flow)
+    instead of the SSF joint-seg head. ``box`` is the sequence-stable Morton
+    box (see ``sequence_box``); required when the model's neighbor backend
+    is "banded" (asserted), unused otherwise.
     """
     variant = Variant.SF if use_gmm else Variant.SSF
     run_cfg = cfg.replace(variant=variant)
+    if model.cfg.neighbor_backend == "banded":
+        assert box is not None, (
+            "tower caching on the banded backend needs a sequence-stable "
+            "Morton box (engine.fused.sequence_box)")
 
-    def fused_step(state: SlamState, scan: dict):
-        flows, _ = model.apply(variables, scan["prev"][None],
-                               scan["points"][None])
+    def tower(pc):
+        return model.apply(variables, pc, False, box, method=TFlow.tower)
+
+    def fused_step(carry, scan: dict):
+        state, t_prev = carry
+        t_curr = tower(scan["points"][None])
+        flows, _ = model.apply(variables, t_prev, t_curr, False, box,
+                               method=TFlow.head)
         out = flows[0][0]
         slam_scan = dict(
             points=scan["points"],
@@ -50,17 +90,18 @@ def make_fused_step(model, variables, cfg: PipelineConfig,
         )
         if variant == Variant.SSF:
             slam_scan["static_mask"] = out[:, 3] < 0.0
-        return slam_step(state, slam_scan, run_cfg)
+        state, outputs = slam_step(state, slam_scan, run_cfg)
+        return (state, t_curr), outputs
 
-    return fused_step, run_cfg
+    def make_carry(first_prev: Array):
+        return (init_slam_state(run_cfg), tower(first_prev[None]))
+
+    return fused_step, run_cfg, make_carry
 
 
-def run_sequence_fused(model, variables, frames: list, cfg: PipelineConfig,
-                       use_gmm: bool = False):
-    """Host wrapper: frames -> fused lax.scan -> trajectory outputs."""
-    fused_step, run_cfg = make_fused_step(model, variables, cfg, use_gmm)
-    n = cfg.lidar.max_points
-    scans = dict(
+def stack_fused_scans(frames: list, n: int) -> dict:
+    """Host-side: frame dicts -> the fused step's stacked scan arrays."""
+    return dict(
         points=jnp.asarray(
             np.stack([f["pos1"][:n] for f in frames]).astype(np.float32)),
         prev=jnp.asarray(np.stack(
@@ -74,9 +115,22 @@ def run_sequence_fused(model, variables, frames: list, cfg: PipelineConfig,
         time=jnp.asarray([f["time"] for f in frames], jnp.float32),
     )
 
-    @jax.jit
-    def run(state, scans):
-        return jax.lax.scan(fused_step, state, scans)
 
-    state, outs = run(init_slam_state(run_cfg), scans)
+def run_sequence_fused(model, variables, frames: list, cfg: PipelineConfig,
+                       use_gmm: bool = False):
+    """Host wrapper: frames -> fused lax.scan -> trajectory outputs."""
+    n = cfg.lidar.max_points
+    scans = stack_fused_scans(frames, n)
+    box = None
+    if model.cfg.neighbor_backend == "banded":
+        box = sequence_box(np.asarray(scans["points"]))
+    fused_step, run_cfg, make_carry = make_fused_step(
+        model, variables, cfg, use_gmm, box=box)
+
+    @jax.jit
+    def run(scans):
+        carry = make_carry(scans["prev"][0])
+        return jax.lax.scan(fused_step, carry, scans)
+
+    (state, _), outs = run(scans)
     return state, {k: np.asarray(v) for k, v in outs.items()}

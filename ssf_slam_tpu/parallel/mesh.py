@@ -159,27 +159,29 @@ def run_sequences_sharded(frames_batch: list, cfg: PipelineConfig,
         f"need exactly one sequence per device ({n_dev}), "
         f"got {len(frames_batch)}")
 
+    make_carry = None
     if model is not None:
-        from ssf_slam_tpu.engine.fused import make_fused_step
+        from ssf_slam_tpu.engine.fused import (
+            make_fused_step,
+            sequence_box,
+            stack_fused_scans,
+        )
 
-        step_fn, run_cfg = make_fused_step(model, variables, cfg, use_gmm)
         n = cfg.lidar.max_points
-
-        def stack_one(seq):
-            return dict(
-                points=np.stack([f["pos1"][:n] for f in seq]).astype(
-                    np.float32),
-                prev=np.stack(
-                    [seq[max(k - 1, 0)]["pos1"][:n]
-                     for k in range(len(seq))]).astype(np.float32),
-                mask=np.stack([f["mask1"][:n].astype(bool) for f in seq]),
-                prev_mask=np.stack(
-                    [seq[max(k - 1, 0)]["mask1"][:n].astype(bool)
-                     for k in range(len(seq))]),
-                time=np.asarray([f["time"] for f in seq], np.float32),
-            )
-
-        stacked = [stack_one(seq) for seq in frames_batch]
+        stacked = [{k: np.asarray(v) for k, v in
+                    stack_fused_scans(seq, n).items()}
+                   for seq in frames_batch]
+        box = None
+        if model.cfg.neighbor_backend == "banded":
+            # one box covering ALL sequences: under shard_map the box is a
+            # replicated closure constant, so it must be valid on every
+            # device (per-sequence boxes would need to ride the sharded
+            # scans; a shared box only costs a little Morton resolution)
+            box = sequence_box(
+                np.concatenate([s["points"].reshape(-1, 3)
+                                for s in stacked]))
+        step_fn, run_cfg, make_carry = make_fused_step(
+            model, variables, cfg, use_gmm, box=box)
     else:
         run_cfg = cfg
         step_fn = lambda st, sc: slam_step(st, sc, cfg)  # noqa: E731
@@ -195,8 +197,12 @@ def run_sequences_sharded(frames_batch: list, cfg: PipelineConfig,
     def run(scans):
         def per_device(local):  # leading batch dim == 1 on each device
             seq = jax.tree.map(lambda x: x[0], local)
-            state, outs = jax.lax.scan(step_fn, init_slam_state(run_cfg),
-                                       seq)
+            if make_carry is not None:
+                carry0 = make_carry(seq["prev"][0])
+                (state, _), outs = jax.lax.scan(step_fn, carry0, seq)
+            else:
+                state, outs = jax.lax.scan(step_fn, init_slam_state(run_cfg),
+                                           seq)
             return jax.tree.map(lambda x: x[None], (state, outs))
 
         return shard_map(
