@@ -40,20 +40,33 @@ enable_compilation_cache()
 N_POINTS = 8192
 
 
-def build_corpus(n_worlds: int, frames_per_world: int, rng_base: int = 0):
-    """Varied training worlds + one held-out eval world (seed 100)."""
+def build_corpus(n_worlds: int, frames_per_world: int, rng_base: int = 0,
+                 fg_oversample: int = 0, hard: bool = False):
+    """Varied training worlds + one held-out eval world (seed 100).
+
+    ``hard`` (round 3) targets the moving-class recall gap: a third of the
+    worlds carry SLOW movers (0.5-3 m/s — flow barely differs from ego flow)
+    and 30% crossing traffic; ``fg_oversample`` turns on hybrid FG/BG
+    sampling (carla.py:179-200 parity) so movers are not a vanishing
+    minority of the BCE. The eval world stays untouched (natural sampling,
+    same seed/params as round 2) for metric comparability.
+    """
     from ssf_slam_tpu.data.synthetic import generate_sequence
 
     train = []
     for w in range(n_worlds):
         rng = np.random.default_rng(1000 + w)
+        slow = hard and (w % 3 == 0)
         frames = generate_sequence(
             n_frames=frames_per_world,
             n_points=N_POINTS,
             seed=rng_base + w,
             noise=float(rng.uniform(0.002, 0.006)),
-            n_moving=int(rng.integers(2, 9)),
+            n_moving=int(rng.integers(4, 11) if hard else rng.integers(2, 9)),
             radius=float(rng.uniform(18.0, 42.0)),
+            mover_speed=(0.5, 3.0) if slow else (3.0, 10.0),
+            crossing_frac=0.3 if hard else 0.0,
+            fg_oversample=fg_oversample,
         )
         train.extend(frames)
     eval_frames = generate_sequence(
@@ -87,6 +100,10 @@ def main() -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-seconds", type=float, default=None)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--fg-oversample", type=int, default=0,
+                   help="hybrid FG/BG sampling target per training frame")
+    p.add_argument("--hard", action="store_true",
+                   help="slow/crossing-mover corpus (round-3 recipe)")
     args = p.parse_args()
 
     from ssf_slam_tpu.config import FlowNetConfig, LossConfig, TrainConfig
@@ -102,8 +119,9 @@ def main() -> int:
 
     t_start = time.time()
     print("generating corpus...", flush=True)
-    train_frames, eval_frames = build_corpus(args.n_worlds,
-                                             args.frames_per_world)
+    train_frames, eval_frames = build_corpus(
+        args.n_worlds, args.frames_per_world,
+        fg_oversample=args.fg_oversample, hard=args.hard)
     print(f"corpus: {len(train_frames)} train pairs, "
           f"{len(eval_frames)} eval pairs "
           f"({time.time() - t_start:.0f}s)", flush=True)

@@ -55,6 +55,33 @@ def pad_points(
     return out, mask, idx
 
 
+def hybrid_sample(
+    fg_mask: np.ndarray,  # [M] bool/0-1 moving-point labels
+    n: int,
+    num_fg: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Foreground-oversampled subsampling (hybrid_sample_points,
+    utils/datasets/carla.py:179-200).
+
+    Picks ``num_fg`` moving points (ALL of them when fewer exist, background
+    filling the remainder) plus background for the rest — the training-
+    balance lever for scenes where movers are a small minority. Returns n
+    SORTED indices into the original array (sorted, unlike the reference's
+    hstack order, so downstream per-ring curvature windows stay meaningful).
+    Requires n <= len(fg_mask).
+    """
+    fg = np.flatnonzero(fg_mask > 0.5)
+    bg = np.flatnonzero(fg_mask <= 0.5)
+    if len(fg) < num_fg:
+        sel_fg = fg
+        sel_bg = rng.choice(bg, n - len(fg), replace=False)
+    else:
+        sel_fg = rng.choice(fg, num_fg, replace=False)
+        sel_bg = rng.choice(bg, n - num_fg, replace=False)
+    return np.sort(np.concatenate([sel_fg, sel_bg]))
+
+
 class CarlaSceneFlowDataset:
     """Directory-of-npz dataset with CARLA3D-compatible preprocessing."""
 
@@ -66,6 +93,7 @@ class CarlaSceneFlowDataset:
         n_points: int = 8192,
         remove_ground: bool = False,
         filter_movers: bool = False,
+        fg_points: Optional[int] = None,  # hybrid FG/BG sampling target
         seed: int = 0,
     ):
         self.paths = sorted(
@@ -76,6 +104,7 @@ class CarlaSceneFlowDataset:
         self.n_points = n_points
         self.remove_ground = remove_ground
         self.filter_movers = filter_movers
+        self.fg_points = fg_points
         self.rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -101,7 +130,13 @@ class CarlaSceneFlowDataset:
             keep2 &= fg2 < 0.5
 
         n = self.n_points
-        p1, m1, i1 = pad_points(pos1[keep1], n, self.rng)
+        if (self.fg_points is not None and not self.filter_movers
+                and np.sum(keep1) >= n):
+            i1 = hybrid_sample(fg1[keep1], n, self.fg_points, self.rng)
+            p1 = pos1[keep1][i1].astype(np.float32)
+            m1 = np.ones(n, bool)
+        else:
+            p1, m1, i1 = pad_points(pos1[keep1], n, self.rng)
         p2, m2, _ = pad_points(pos2[keep2], n, self.rng)
         return dict(
             pos1=p1,

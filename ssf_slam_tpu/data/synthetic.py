@@ -57,6 +57,8 @@ class SyntheticWorld:
         n_static: int = 12,
         n_moving: int = 4,
         extent: float = 60.0,
+        mover_speed: tuple = (3.0, 10.0),
+        crossing_frac: float = 0.0,
     ) -> "SyntheticWorld":
         """A CARLA-like street: buildings (static boxes) + vehicles (movers)."""
         boxes = []
@@ -114,7 +116,15 @@ class SyntheticWorld:
             c = np.array([rng.uniform(-extent * 0.6, extent * 0.6),
                           rng.uniform(-5.0, 5.0), 0.9])
             s = np.array([4.5, 2.0, 1.8])
-            v = np.array([rng.uniform(3.0, 10.0) * rng.choice([-1, 1]), 0.0, 0.0])
+            speed = rng.uniform(*mover_speed)
+            if rng.uniform() < crossing_frac:
+                # crossing traffic: mostly-lateral motion — flow differs
+                # from ego flow in DIRECTION rather than magnitude, a harder
+                # case for the seg head than along-road movers
+                th = rng.uniform(np.pi / 3, 2 * np.pi / 3) * rng.choice([-1, 1])
+            else:
+                th = 0.0 if rng.uniform() < 0.5 else np.pi
+            v = speed * np.array([np.cos(th), np.sin(th), 0.0])
             boxes.append(Box(c, s, v))
         return SyntheticWorld(boxes=boxes, extent=extent)
 
@@ -210,6 +220,8 @@ def subsample_scan(
     oid: np.ndarray,
     n: int,
     rng: np.random.Generator,
+    fg_oversample: int = 0,
+    moving_ids: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Random-subsample valid hits to exactly n padded rows.
 
@@ -217,10 +229,21 @@ def subsample_scan(
     dense scan (utils/datasets/carla.py:274-285). Selected indices stay in
     original (row-major, azimuth-sorted) order so downstream per-ring
     curvature windows remain meaningful.
+
+    ``fg_oversample`` > 0 enables hybrid FG/BG sampling (hybrid_sample_points,
+    utils/datasets/carla.py:179-200): up to that many points are drawn from
+    moving objects (``moving_ids``), the rest from background — the training-
+    balance lever; keep 0 for evaluation data.
     """
     hits = np.flatnonzero(mask)
     if len(hits) > n:
-        sel = np.sort(rng.choice(hits, n, replace=False))
+        if fg_oversample > 0 and moving_ids is not None:
+            from ssf_slam_tpu.data.carla import hybrid_sample
+
+            fg = np.isin(oid[hits], moving_ids)
+            sel = hits[hybrid_sample(fg, n, fg_oversample, rng)]
+        else:
+            sel = np.sort(rng.choice(hits, n, replace=False))
     else:
         sel = hits
     out_p = np.zeros((n, 3), pts.dtype)
@@ -304,6 +327,9 @@ def generate_sequence(
     n_moving: int = 4,
     radius: float = 30.0,
     trajectory=None,
+    mover_speed: tuple = (3.0, 10.0),
+    crossing_frac: float = 0.0,
+    fg_oversample: int = 0,
 ) -> list[dict]:
     """Generate a CARLA-npz-schema sequence of frame PAIRS.
 
@@ -313,7 +339,11 @@ def generate_sequence(
     keeps in its CARLA pose logs.
     """
     rng = np.random.default_rng(seed)
-    world = SyntheticWorld.traffic_scene(rng, n_moving=n_moving)
+    world = SyntheticWorld.traffic_scene(
+        rng, n_moving=n_moving, mover_speed=mover_speed,
+        crossing_frac=crossing_frac)
+    moving_ids = np.asarray(
+        [i for i, b in enumerate(world.boxes) if np.any(b.velocity)])
     if isinstance(trajectory, str):
         traj_fn = TRAJECTORIES[trajectory]
         traj = lambda k: traj_fn(k, n_frames, radius)  # noqa: E731
@@ -331,7 +361,9 @@ def generate_sequence(
         p, m, oid = simulate_scan(
             world, pos, yaw, t, n_rows, pts_per_row, noise=noise, rng=rng
         )
-        p, m, oid = subsample_scan(p, m, oid, n_points, rng)
+        p, m, oid = subsample_scan(p, m, oid, n_points, rng,
+                                   fg_oversample=fg_oversample,
+                                   moving_ids=moving_ids)
         scans.append((p, m, oid, pos, yaw, t))
 
     for k in range(n_frames):

@@ -137,3 +137,42 @@ def test_ssfb_roundtrip_on_golden_fixture(tmp_path):
     got = [fr for _, fr in seq.prefetch_iter()]
     assert len(got) == 2
     np.testing.assert_allclose(got[0]["pos1"], frames[0]["pos1"], atol=1e-5)
+
+
+def test_hybrid_sample_loader():
+    """CarlaSceneFlowDataset fg_points: reference hybrid_sample_points
+    semantics (utils/datasets/carla.py:179-200) on the npz path."""
+    from ssf_slam_tpu.data.carla import (
+        CarlaSceneFlowDataset,
+        hybrid_sample,
+        save_sequence_npz,
+    )
+    from ssf_slam_tpu.data.synthetic import generate_sequence
+    import tempfile
+
+    rng = np.random.default_rng(0)
+    # unit: fewer FG than target -> all FG kept + BG fill
+    mask = np.zeros(1000); mask[:30] = 1
+    idx = hybrid_sample(mask, 100, 50, rng)
+    assert len(idx) == 100 and len(np.unique(idx)) == 100
+    assert mask[idx].sum() == 30
+    # unit: more FG than target -> exactly target FG
+    mask2 = np.zeros(1000); mask2[:400] = 1
+    idx2 = hybrid_sample(mask2, 100, 50, rng)
+    assert mask2[idx2].sum() == 50
+    assert np.all(np.diff(idx2) > 0)  # sorted for ring-order consumers
+
+    with tempfile.TemporaryDirectory() as d:
+        frames = generate_sequence(n_frames=2, n_points=4096, seed=3,
+                                   n_moving=6)
+        save_sequence_npz(frames, d)
+        plain = CarlaSceneFlowDataset(d, n_points=1024, seed=1)
+        hybrid = CarlaSceneFlowDataset(d, n_points=1024, fg_points=256,
+                                       seed=1)
+        fp = np.mean([plain[i]["s_fg_mask"].sum() for i in range(2)])
+        fh = np.mean([hybrid[i]["s_fg_mask"].sum() for i in range(2)])
+        assert fh >= fp
+        item = hybrid[0]
+        # labels stay aligned with the oversampled points
+        assert item["pos1"].shape == (1024, 3)
+        assert item["gt"].shape == (1024, 3)

@@ -64,3 +64,39 @@ def test_npz_roundtrip(tmp_path):
     assert item["mask1"].all()  # 2048 -> 1024 subsample, all valid
     batch = next(ds.batches(2, shuffle=False))
     assert batch["pos1"].shape == (2, 1024, 3)
+
+
+def test_hybrid_fg_oversample():
+    """hybrid FG/BG sampling (carla.py:179-200 parity) raises the moving
+    fraction in generated training frames without touching eval frames."""
+    plain = generate_sequence(n_frames=2, n_points=4096, seed=11, n_moving=4)
+    hybrid = generate_sequence(n_frames=2, n_points=4096, seed=11, n_moving=4,
+                               fg_oversample=512)
+    frac_plain = np.mean([f["s_fg_mask"].sum() / f["mask1"].sum()
+                          for f in plain])
+    frac_hybrid = np.mean([f["s_fg_mask"].sum() / f["mask1"].sum()
+                           for f in hybrid])
+    assert frac_hybrid > frac_plain
+    # target honored when enough movers are visible; never exceeded
+    for f in hybrid:
+        assert f["s_fg_mask"].sum() <= 512 + 1e-6
+    # flow invariant still holds on the oversampled frames: static points'
+    # gt equals the rigid ego-flow
+    f = hybrid[1]
+    static = (f["s_fg_mask"] < 0.5) & f["mask1"]
+    np.testing.assert_allclose(f["gt"][static], f["ego_flow"][static],
+                               atol=1e-5)
+
+
+def test_mover_speed_and_crossing():
+    slow = generate_sequence(n_frames=1, n_points=2048, seed=5, n_moving=6,
+                             mover_speed=(0.5, 1.5), crossing_frac=1.0)
+    # crossing movers: gt - ego_flow of moving points has a lateral (y)
+    # component comparable to its x component
+    f = slow[0]
+    mov = f["s_fg_mask"] > 0.5
+    if mov.sum() > 10:
+        obj = f["gt"][mov] - f["ego_flow"][mov]
+        assert np.abs(obj[:, 1]).mean() > 0.2 * np.abs(obj[:, 0]).mean()
+        # slow movers: object displacement bounded by speed * dt
+        assert np.linalg.norm(obj, axis=1).max() < 1.5 * 0.1 + 0.05
