@@ -10,7 +10,8 @@ DATASET_PATH / RESULT_PATH params; here:
     python -m ssf_slam_tpu.cli eval-flow --synthetic --ckpt runs/best
 
 Variant names mirror the launch files (SURVEY §1): onlypc, seg, noseg, sf,
-ssf.
+ssf (joint-head, run_Seg_ActiveSceneFlow.launch), ssfc (separate classifier,
+run_Pointnet2Seg_ActiveSceneFlow.launch — pass --seg-ckpt).
 """
 
 from __future__ import annotations
@@ -125,21 +126,59 @@ def _predict_flow(frames: list, args, variant: str | None = None) -> None:
             f["static_mask"] = out[:, 3] < 0.0  # logit<0 => static
 
 
+def _build_seg_classifier(args):
+    """SegNet classifier + checkpoint -> seg_apply callable (P6 wiring:
+    main_sju_occ_addSeg_Pointnet2_ros.py MODEL LOADING + :360-378)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssf_slam_tpu.models.segnet import SegNet
+
+    model = SegNet(n_classes=2, dtype=jnp.bfloat16)
+    xyz0 = jnp.zeros((1, args.n_points, 3))
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), xyz0, xyz0))()
+    if args.seg_ckpt:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(args.seg_ckpt),
+            dict(params=variables["params"],
+                 batch_stats=variables.get("batch_stats", {})),
+        )
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+    else:
+        print("WARNING: no --seg-ckpt given; classifier runs with random "
+              "weights (train one with scripts/train_segnet.py)",
+              file=sys.stderr)
+
+    def seg_apply(pc, flow):
+        return model.apply(variables, pc, flow)
+
+    return seg_apply
+
+
 def _run_variant(frames: list, variant_name: str, args):
     """Run one pipeline variant over frames -> (times, pos, quat) arrays.
 
-    sf/ssf route through the FUSED engine (engine/fused.py): TFlow runs
-    inside the jitted per-scan step — no per-frame host dispatch (the
-    round-1 CLI's per-pair infer() hop cost ~25 ms/frame on this runtime).
+    sf/ssf/ssfc route through the FUSED engine (engine/fused.py): TFlow (and
+    for ssfc the SegNet classifier) runs inside the jitted per-scan step —
+    no per-frame host dispatch (the round-1 CLI's per-pair infer() hop cost
+    ~25 ms/frame on this runtime).
     """
     from ssf_slam_tpu.config import PipelineConfig, Variant
     from ssf_slam_tpu.engine import run_sequence
 
-    variant = Variant(variant_name)
+    classifier = variant_name == "ssfc"
+    variant = Variant.SSF if classifier else Variant(variant_name)
     cfg = PipelineConfig(variant=variant)
 
     if variant in (Variant.SF, Variant.SSF):
-        if args.resample > 1:
+        if args.resample > 1 and not classifier:
             # resampling needs per-pair ensemble prediction; host loop
             frames = [dict(f) for f in frames]
             _predict_flow(frames, args, variant_name)
@@ -147,10 +186,15 @@ def _run_variant(frames: list, variant_name: str, args):
         else:
             from ssf_slam_tpu.engine.fused import run_sequence_fused
 
-            model, variables = _build_model(args, variant_name)
+            # the classifier flavor uses the SAME flow net as ssf (a joint
+            # checkpoint's 4th channel goes unused) — only the mask source
+            # differs, per the reference launch pair
+            model, variables = _build_model(
+                args, "ssf" if classifier else variant_name)
+            seg_apply = _build_seg_classifier(args) if classifier else None
             state, outs = run_sequence_fused(
                 model, variables, frames, cfg,
-                use_gmm=variant == Variant.SF)
+                use_gmm=variant == Variant.SF, seg_apply=seg_apply)
     else:
         state, outs = run_sequence(frames, cfg)
     n_loops = int(state.map_state.n_loops)
@@ -301,6 +345,9 @@ def main(argv=None) -> int:
                         help="synthetic ego path; 'loop' revisits (exercises "
                              "loop closure)")
         sp.add_argument("--ckpt", default=None)
+        sp.add_argument("--seg-ckpt", default=None,
+                        help="SegNet classifier checkpoint for the ssfc "
+                             "variant (run_Pointnet2Seg launch parity)")
         sp.add_argument("--resample", type=int, default=1,
                         help="test-time permutation-ensemble size "
                              "(main_sju_occ_ros.py:196-216)")
@@ -310,7 +357,7 @@ def main(argv=None) -> int:
                         choices=["banded", "xla"])
         sp.add_argument(
             "--variant", default="seg",
-            choices=["onlypc", "seg", "noseg", "sf", "ssf"],
+            choices=["onlypc", "seg", "noseg", "sf", "ssf", "ssfc"],
         )
 
     sp = sub.add_parser("run", help="run a SLAM pipeline, write TUM trajectory")

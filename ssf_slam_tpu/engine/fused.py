@@ -47,7 +47,7 @@ def sequence_box(all_points: np.ndarray, margin: float = 1.0):
 
 
 def make_fused_step(model: TFlow, variables, cfg: PipelineConfig,
-                    use_gmm: bool = False, box=None):
+                    use_gmm: bool = False, box=None, seg_apply=None):
     """Build the fused step with tower caching.
 
     Returns ``(fused_step, run_cfg, make_carry)``:
@@ -63,6 +63,15 @@ def make_fused_step(model: TFlow, variables, cfg: PipelineConfig,
     instead of the SSF joint-seg head. ``box`` is the sequence-stable Morton
     box (see ``sequence_box``); required when the model's neighbor backend
     is "banded" (asserted), unused otherwise.
+
+    ``seg_apply``: optional classifier ``(pc [1,N,3], flow [1,N,3]) ->
+    logits [1,N,2]`` — the SSF static mask then comes from the SEPARATE
+    PointNet2-style classifier fed [xyz || flow], argmaxed (class 0 =
+    static), instead of the joint 4-channel head. This is the reference's
+    flagship run_Pointnet2Seg configuration
+    (main_sju_occ_addSeg_Pointnet2_ros.py:360-378,
+    launch/run_Pointnet2Seg_ActiveSceneFlow.launch:15-17), fused into the
+    same jitted step.
     """
     variant = Variant.SF if use_gmm else Variant.SSF
     run_cfg = cfg.replace(variant=variant)
@@ -80,16 +89,21 @@ def make_fused_step(model: TFlow, variables, cfg: PipelineConfig,
         flows, _ = model.apply(variables, t_prev, t_curr, False, box,
                                method=TFlow.head)
         out = flows[0][0]
+        flow = out[:, :3].astype(jnp.float32)
         slam_scan = dict(
             points=scan["points"],
             mask=scan["mask"],
             time=scan["time"],
             flow_points=scan["prev"],
             flow_mask=scan["prev_mask"],
-            flow=out[:, :3].astype(jnp.float32),
+            flow=flow,
         )
         if variant == Variant.SSF:
-            slam_scan["static_mask"] = out[:, 3] < 0.0
+            if seg_apply is not None:
+                logits = seg_apply(scan["prev"][None], flow[None])[0]
+                slam_scan["static_mask"] = jnp.argmax(logits, axis=-1) == 0
+            else:
+                slam_scan["static_mask"] = out[:, 3] < 0.0
         state, outputs = slam_step(state, slam_scan, run_cfg)
         return (state, t_curr), outputs
 
@@ -117,7 +131,7 @@ def stack_fused_scans(frames: list, n: int) -> dict:
 
 
 def run_sequence_fused(model, variables, frames: list, cfg: PipelineConfig,
-                       use_gmm: bool = False):
+                       use_gmm: bool = False, seg_apply=None):
     """Host wrapper: frames -> fused lax.scan -> trajectory outputs."""
     n = cfg.lidar.max_points
     scans = stack_fused_scans(frames, n)
@@ -125,7 +139,7 @@ def run_sequence_fused(model, variables, frames: list, cfg: PipelineConfig,
     if model.cfg.neighbor_backend == "banded":
         box = sequence_box(np.asarray(scans["points"]))
     fused_step, run_cfg, make_carry = make_fused_step(
-        model, variables, cfg, use_gmm, box=box)
+        model, variables, cfg, use_gmm, box=box, seg_apply=seg_apply)
 
     @jax.jit
     def run(scans):

@@ -259,3 +259,37 @@ def test_cli_evaluate_smoke(tmp_path, capsys):
 
     mats = read_kitti_poses(os.path.join(out_dir, "00_NOSEG.kitti"))
     assert mats.shape == (3, 3, 4) or mats.shape == (3, 4, 4)
+
+
+def test_fused_ssfc_classifier_step(seq):
+    """P6: the separate SegNet classifier produces the static mask inside
+    the fused step (main_sju_occ_addSeg_Pointnet2_ros.py:360-378 parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssf_slam_tpu.config import FlowNetConfig
+    from ssf_slam_tpu.engine.fused import run_sequence_fused
+    from ssf_slam_tpu.models import TFlow
+    from ssf_slam_tpu.models.segnet import SegNet
+
+    net_cfg = FlowNetConfig(
+        npoint=8192, sa_npoints=(512, 128, 64, 32), sa_nsample=(8, 8, 8, 8),
+        cost_nsample=8, joint_seg=True,
+    )
+    model = TFlow(cfg=net_cfg)
+    rng = jax.random.PRNGKey(0)
+    pc = jnp.zeros((1, 8192, 3))
+    variables = jax.jit(model.init)(rng, pc, pc)
+
+    seg = SegNet(n_classes=2, sa_npoints=(256, 64), head=(32, 32),
+                 sa_mlps=((16, 16), (32, 32)))
+    seg_vars = jax.jit(lambda: seg.init(rng, pc, pc))()
+
+    def seg_apply(xyz, flow):
+        return seg.apply(seg_vars, xyz, flow)
+
+    cfg = small_cfg(Variant.SSF)
+    state, outs = run_sequence_fused(model, variables, seq[:3], cfg,
+                                     seg_apply=seg_apply)
+    assert outs["pose_t"].shape == (3, 3)
+    assert np.isfinite(outs["pose_t"]).all()
