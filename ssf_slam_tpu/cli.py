@@ -208,6 +208,8 @@ def _run_variant(frames: list, variant_name: str, args):
 def cmd_run(args) -> int:
     from ssf_slam_tpu.engine import ate_rmse, write_tum
 
+    if args.stream:
+        return _cmd_run_stream(args)
     frames = _load_frames(args)
     times, pos, quat = _run_variant(frames, args.variant, args)
     write_tum(args.out, times, pos, quat)
@@ -222,6 +224,45 @@ def cmd_run(args) -> int:
         print(f"ATE RMSE vs ground truth: {ate_rmse(pos, true_pos):.4f} m")
         print(f"RPE vs ground truth: {r['trans_rmse']:.4f} m, "
               f"{r['rot_rmse_deg']:.4f} deg")
+    return 0
+
+
+def _cmd_run_stream(args) -> int:
+    """Online mode: per-arriving-scan fused step, incremental TUM, Hz report
+    (the reference's live 10 Hz operation, PointCloudOdometry.py:42)."""
+    from ssf_slam_tpu.engine.streaming import StreamingRunner
+    from ssf_slam_tpu.config import PipelineConfig, Variant
+
+    if args.variant not in ("sf", "ssf", "ssfc"):
+        print("--stream drives the fused network-in-the-loop variants "
+              "(sf/ssf/ssfc)", file=sys.stderr)
+        return 2
+
+    classifier = args.variant == "ssfc"
+    model, variables = _build_model(args, "ssf" if classifier else
+                                    args.variant)
+    seg_apply = _build_seg_classifier(args) if classifier else None
+    cfg = PipelineConfig(variant=Variant.SSF)
+
+    if args.dataset and args.dataset.endswith(".ssfb"):
+        # lazy native prefetch — frames stream straight off the mmap
+        from ssf_slam_tpu.data.ssfb import SsfbSequence
+
+        seq = SsfbSequence(args.dataset)
+        frames = (fr for _, fr in seq.prefetch_iter())
+    else:
+        frames = iter(_load_frames(args))
+
+    runner = StreamingRunner(
+        model, variables, cfg, use_gmm=args.variant == "sf",
+        seg_apply=seg_apply, tum_path=args.out)
+    stats = runner.run(frames)
+    print(f"streamed {stats['n_scans']} scans -> {args.out}")
+    print(f"rate {stats['hz']:.1f} Hz  latency mean "
+          f"{stats['latency_ms_mean']:.1f} ms  p95 "
+          f"{stats['latency_ms_p95']:.1f} ms  loops {stats['n_loops']}")
+    target = 10.0
+    print(f"10 Hz live target: {'MET' if stats['hz'] >= target else 'MISSED'}")
     return 0
 
 
@@ -363,6 +404,9 @@ def main(argv=None) -> int:
     sp = sub.add_parser("run", help="run a SLAM pipeline, write TUM trajectory")
     common(sp)
     sp.add_argument("--out", default="trajectory.tum")
+    sp.add_argument("--stream", action="store_true",
+                    help="online mode: per-arriving-scan step + incremental "
+                         "TUM + Hz/latency report (live 10 Hz parity)")
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("train", help="train the scene-flow net")

@@ -293,3 +293,34 @@ def test_fused_ssfc_classifier_step(seq):
                                      seg_apply=seg_apply)
     assert outs["pose_t"].shape == (3, 3)
     assert np.isfinite(outs["pose_t"]).all()
+
+
+def test_streaming_runner(seq, tmp_path):
+    """Online mode: per-arriving-scan step == batch fused scan semantics,
+    incremental TUM output, latency stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssf_slam_tpu.config import FlowNetConfig
+    from ssf_slam_tpu.engine import read_tum
+    from ssf_slam_tpu.engine.streaming import StreamingRunner
+    from ssf_slam_tpu.models import TFlow
+
+    net_cfg = FlowNetConfig(
+        npoint=8192, sa_npoints=(512, 128, 64, 32), sa_nsample=(8, 8, 8, 8),
+        cost_nsample=8, joint_seg=True,
+    )
+    model = TFlow(cfg=net_cfg)
+    rng = jax.random.PRNGKey(0)
+    pc = jnp.zeros((1, 8192, 3))
+    variables = jax.jit(model.init)(rng, pc, pc)
+    cfg = small_cfg(Variant.SSF)
+
+    tum = str(tmp_path / "stream.tum")
+    runner = StreamingRunner(model, variables, cfg, tum_path=tum)
+    stats = runner.run(iter(seq[:3]))
+    assert stats["n_scans"] == 3
+    assert stats["latency_ms_mean"] > 0
+    t, p, q = read_tum(tum)
+    assert p.shape == (3, 3)
+    assert np.isfinite(p).all()
