@@ -152,9 +152,17 @@ def _scan_directions(
     """[n_rows * pts_per_row, 3] unit ray directions (sensor frame).
 
     16-row geometry matching src/frameFeature.cpp:58-61: elevations
-    -15..+15 deg at 2 deg pitch.
+    -15..+15 deg at 2 deg pitch. 64-row geometry matches the HDL-64 model
+    of src/frameFeature.cpp:64-71 (the one assign_scan_rows inverts): upper
+    32 rows from +2 deg at 1/3 deg pitch, lower 32 from -8.83 deg at
+    1/2 deg pitch.
     """
-    elevs = np.radians(np.linspace(-15, 15, n_rows))
+    if n_rows == 64:
+        upper = 2.0 - np.arange(32) / 3.0
+        lower = -8.83 - np.arange(32) / 2.0
+        elevs = np.radians(np.concatenate([upper, lower]))
+    else:
+        elevs = np.radians(np.linspace(-15, 15, n_rows))
     az = np.linspace(-np.pi, np.pi, pts_per_row, endpoint=False)
     if rng is not None:
         az = az + rng.uniform(0, 2 * np.pi / pts_per_row)
