@@ -118,6 +118,12 @@ class EgoMotionConfig:
     gmm_components: int = 2  # GaussianMixture(n_components=2) (noSeg:98)
     gmm_iters: int = 25  # fixed-iteration EM inside jit (sklearn default max 100)
     gmm_reg_covar: float = 1e-6  # sklearn default covariance floor
+    # Cauchy-IRLS refinement of the Kabsch fit on the LEARNED-mask paths
+    # (SF/SSF): downweights flow outliers / missed movers. 0 = the
+    # reference's single unweighted SVD. GT-seg keeps 0 regardless (the Seg
+    # run defines the evo reference trajectory; see odometry/egomotion.py).
+    irls_iters: int = 2
+    irls_sigma: float = 0.05  # expected static flow error (m)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -113,7 +113,9 @@ def _frame_motion(state: SlamState, scan: dict, feat: FeatureCloud,
         return q, t
     if variant == Variant.SSF:
         static = scan["static_mask"] & mask
-        return ego_motion_from_flow(pts, flow, static)
+        return ego_motion_from_flow(pts, flow, static,
+                                    irls_iters=cfg.egomotion.irls_iters,
+                                    irls_sigma=cfg.egomotion.irls_sigma)
     raise ValueError(variant)
 
 

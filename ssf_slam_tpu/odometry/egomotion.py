@@ -32,11 +32,26 @@ Array = jax.Array
 
 
 def ego_motion_from_flow(
-    pts: Array, flow: Array, static_mask: Array
+    pts: Array, flow: Array, static_mask: Array,
+    irls_iters: int = 0, irls_sigma: float = 0.05,
 ) -> tuple[Array, Array]:
-    """Kabsch on static points: returns (q, t) with p_last = R p_curr + t."""
+    """Kabsch on static points: returns (q, t) with p_last = R p_curr + t.
+
+    ``irls_iters`` > 0 adds Cauchy-weighted IRLS refinement (an upgrade over
+    the reference's single unweighted SVD, PointCloudOdometry.py:15-33):
+    points whose flow disagrees with the fitted rigid motion — typically
+    movers the segmentation missed, THE error source of the learned-seg
+    path — are downweighted by 1 / (1 + (r/sigma)^2) and the fit repeated.
+    sigma is the expected static-point flow error (~predicted-flow EPE).
+    """
     w = static_mask.astype(pts.dtype)
-    r, t = kabsch(pts + flow, pts, w)
+    src = pts + flow
+    r, t = kabsch(src, pts, w)
+    for _ in range(irls_iters):
+        res = pts - (src @ r.T + t[None, :])
+        r2 = jnp.sum(res * res, axis=-1)
+        w_r = w / (1.0 + r2 / (irls_sigma * irls_sigma))
+        r, t = kabsch(src, pts, w_r)
     return matrix_to_quat(r), t
 
 
@@ -62,5 +77,7 @@ def ego_motion_gmm(
     """
     feats = jnp.concatenate([flow, pts], axis=-1)
     bg = gmm_background_mask(feats, mask=valid, n_iters=cfg.gmm_iters)
-    q, t = ego_motion_from_flow(pts, flow, bg)
+    q, t = ego_motion_from_flow(pts, flow, bg,
+                                irls_iters=cfg.irls_iters,
+                                irls_sigma=cfg.irls_sigma)
     return q, t, bg

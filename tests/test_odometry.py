@@ -146,3 +146,42 @@ def test_ego_motion_gmm_rejects_movers():
     assert bg[400:].mean() > 0.9
     back = quat_rotate(q[None], jnp.asarray(warped)) + t[None]
     np.testing.assert_allclose(np.asarray(back), pts, atol=1e-3)
+
+
+def test_irls_rejects_missed_movers():
+    """Cauchy-IRLS Kabsch refinement recovers the rigid motion when the
+    static mask wrongly includes moving points (the learned-seg failure
+    mode the refinement exists for)."""
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from ssf_slam_tpu.odometry.egomotion import ego_motion_from_flow
+    from ssf_slam_tpu.ops.se3 import quat_rotate
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    pts = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    r_true = Rotation.from_euler("xyz", [0.5, -0.3, 2.0], degrees=True)
+    t_true = np.array([1.1, -0.2, 0.05], np.float32)
+    # flow takes frame-1 points to frame 2: p2 = R^T (p1 - t)  (inverse of
+    # the published p_last = R p_curr + t convention)
+    p2 = (pts - t_true) @ r_true.as_matrix().astype(np.float32)
+    flow = (p2 - pts) + rng.normal(0, 0.01, (n, 3)).astype(np.float32)
+    # 10% of "static" points are actually movers with +2 m rogue flow
+    n_bad = n // 10
+    flow[:n_bad] += np.array([2.0, 0.6, 0.0], np.float32)
+    static = np.ones(n, bool)
+
+    def fit_err(iters):
+        q, t = ego_motion_from_flow(
+            jnp.asarray(pts), jnp.asarray(flow), jnp.asarray(static),
+            irls_iters=iters)
+        # apply to clean p2: recovered motion must map p2 back to pts
+        back = np.asarray(quat_rotate(jnp.asarray(q)[None],
+                                      jnp.asarray(p2))) + np.asarray(t)
+        return float(np.abs(back - pts).mean()), np.asarray(t)
+
+    err0, t0 = fit_err(0)
+    err2, t2 = fit_err(3)
+    assert err2 < err0 * 0.2, (err0, err2)
+    np.testing.assert_allclose(t2, t_true, atol=0.02)
