@@ -115,3 +115,50 @@ def test_sequences_sharded_fullsize_ssf():
     # both sequences produced distinct trajectories (really ran per-device)
     assert not np.allclose(np.asarray(outs["pose_t"][0]),
                            np.asarray(outs["pose_t"][1]))
+
+
+def test_pointsharded_knn_group_recall():
+    """Point-axis sharding (SURVEY §2.5 stretch): Morton-contiguous shards +
+    ppermute halo exchange. Recall vs the exact single-device oracle must be
+    high on lidar-like clouds, and grouped features must match exactly on
+    agreeing indices."""
+    import numpy as np
+
+    from ssf_slam_tpu.parallel.mesh import make_mesh
+    from ssf_slam_tpu.parallel.pointshard import (
+        pointshard_reference,
+        pointsharded_knn_group,
+    )
+
+    rng = np.random.default_rng(2)
+    n, m, k, c = 2048, 2048, 8, 4
+    r = rng.uniform(3, 28, m)
+    th = rng.uniform(0, 2 * np.pi, m)
+    z = rng.normal(0, 1.5, m)
+    pts = np.stack([r * np.cos(th), r * np.sin(th), z], 1).astype(np.float32)
+    q = pts[rng.permutation(m)[:n]] + rng.normal(0, 0.05, (n, 3)).astype(
+        np.float32)
+    feats = rng.normal(size=(m, c)).astype(np.float32)
+
+    mesh = make_mesh(8)
+    d_s, i_s, g_s = pointsharded_knn_group(
+        jax.numpy.asarray(q), jax.numpy.asarray(pts),
+        jax.numpy.asarray(feats), k, mesh, halo=192)
+    d_r, i_r, g_r = pointshard_reference(
+        jax.numpy.asarray(q), jax.numpy.asarray(pts),
+        jax.numpy.asarray(feats), k)
+
+    i_s, i_r = np.asarray(i_s), np.asarray(i_r)
+    hits = sum(len(set(i_s[i]) & set(i_r[i])) for i in range(0, n, 4))
+    recall = hits / (len(range(0, n, 4)) * k)
+    assert recall > 0.9, recall
+
+    # grouped rows are exact copies of the target features: gather via the
+    # returned global indices against the Morton-sorted feature array
+    g_s = np.asarray(g_s)
+    from ssf_slam_tpu.ops.neighbors import cloud_box, morton_sort
+
+    box = cloud_box(jax.numpy.asarray(q), jax.numpy.asarray(pts))
+    _, t_perm = morton_sort(jax.numpy.asarray(pts), box=box)
+    f_sorted = feats[np.asarray(t_perm)]
+    np.testing.assert_allclose(g_s, f_sorted[i_s], atol=0)
