@@ -82,11 +82,31 @@ class OdometryConfig:
     max_trans_step: float = 0.5
     # Global BEV-correlation translation init per frame (odometry/bev_init.py)
     bev_init: bool = True
-    # Constant-velocity motion prior: a quadratic pull toward the (BEV-
-    # corrected) warm start, weighted so it only decides directions the scan
-    # geometry leaves unobserved (straight-corridor scenes constrain the
-    # along-road axis with a handful of oblique planes; without a prior the
-    # GN solution wanders >1 m along that null direction). Weights are
+    # Hypothesis selection for the dual-anchor solve (scan_to_scan): "bev"
+    # (default) always takes the BEV-anchored solution; "score" picks by
+    # final point-to-plane residual; "warm" forces the constant-velocity
+    # anchor. "bev" is the default because residual arbitration measurably
+    # CANNOT be made safe in dynamic scenes: a warm-anchored solve that
+    # latches onto a coherent mover bloc produces a self-consistent,
+    # genuinely LOWER-residual wrong pose (measured 0.04 -> 0.52 m ATE on a
+    # mover scene even requiring a 2x score margin + inlier-count guard),
+    # while the corridor-aliasing case score mode exists for wins by LESS
+    # than 2x. BEV's errors are per-frame independent (re-measured against
+    # the local map each frame), which bounds mover drag; warm errors
+    # compound. See tests/test_engine.py::test_onlypc_tracks_trajectory for
+    # the residual failure catalog.
+    hypothesis_pick: str = "bev"
+    # "score"-mode gates: solutions must be >hyp_separation_min apart (a
+    # real aliasing event, not jitter) AND the warm residual below
+    # hyp_score_factor x BEV's for the warm anchor to win.
+    hyp_score_factor: float = 0.5
+    hyp_separation_min: float = 0.15
+    # Constant-velocity motion prior: a quadratic pull toward the solve's
+    # anchor (warm start / BEV — scan_to_scan runs one solve per anchor and
+    # picks by final residual), weighted so it only decides directions the
+    # scan geometry leaves unobserved (straight-corridor scenes constrain
+    # the along-road axis with a handful of oblique planes; without a prior
+    # the GN solution wanders >1 m along that null direction). Weights are
     # information (1/sigma^2): trans sigma ~0.22 m, rot sigma ~0.07 rad.
     prior_trans_weight: float = 2.0
     prior_rot_weight: float = 50.0
@@ -163,6 +183,26 @@ class MappingConfig:
     prior_trans_var: float = 1e8
     odom_rot_var: float = 1e-6
     odom_trans_var: float = 1e-4
+    # Scan-to-submap refinement (no reference equivalent — mapOptmization
+    # only gates keyframes and closes loops; between loop events the map
+    # pose is raw integrated odometry, :450). When enabled AND the caller
+    # supplies per-point normals (the ONLY_PC front-end has them), each new
+    # keyframe cloud is point-to-plane registered against the recent
+    # keyframe submap and the accepted correction folds into the loop-
+    # adjust transform, so drift accumulates per keyframe hop instead of
+    # per frame. Flow variants pass no normals and skip this entirely.
+    # DEFAULT OFF: on STATIC worlds it helps slightly (corridor 0.1095 ->
+    # 0.1088 m, curved 0.0123 -> 0.0113 m ATE), but keyframe clouds retain
+    # mover points, and on a 4-mover street the submap registration latches
+    # the mover bloc (measured 0.04 -> 0.52 m ATE). Enable for mover-free
+    # mapping runs only.
+    scan_to_map_refine: bool = False
+    refine_halfwidth: int = 6  # previous keyframes in the target submap
+    refine_min_keyframes: int = 2
+    refine_max_corr_dist: float = 1.0  # association gate (m)
+    refine_max_trans: float = 0.5  # reject corrections larger than this (m)
+    refine_max_rot: float = 0.05  # ... or this (rad)
+    refine_min_inliers: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -158,7 +158,7 @@ def slam_step(
 
     map_state, map_out = mapping_step(
         state.map_state, odom_q, odom_t, feat.xyz, feat.mask,
-        scan["time"], cfg.mapping,
+        scan["time"], cfg.mapping, cloud_planes=curr_planes,
     )
 
     # update the odometry local map (sliding window of the last N feature

@@ -165,6 +165,65 @@ def _build_submap(
     return pts[sel], mask[sel]
 
 
+def _refine_to_submap(
+    state: MapState, q, t, cloud_xyz, cloud_mask, cloud_planes,
+    cfg: MappingConfig,
+):
+    """Point-to-plane registration of the incoming keyframe cloud against
+    the recent keyframe submap (scan-to-map stage; the reference has none —
+    mapOptmization.cpp:450 uses raw integrated odometry between loop
+    events). Returns (q_ref, t_ref, corr_q, corr_t, accepted).
+
+    Reuses the odometry Gauss-Newton (``scan_to_scan``) with: no BEV init
+    (the map-pose init is already metric), a strong prior anchored at the
+    incoming pose so only submap-observed directions move, and TLS planes
+    fit on the ring-less submap (odometry/scan2map.py).
+    """
+    from ssf_slam_tpu.config import OdometryConfig
+    from ssf_slam_tpu.frontend.features import FeatureCloud
+    from ssf_slam_tpu.odometry.scan2map import fit_local_planes
+    from ssf_slam_tpu.odometry.scan2scan import scan_to_scan
+    from ssf_slam_tpu.ops.se3 import pose_inverse, so3_log_quat
+
+    # window = the last (halfwidth+1 .. 2*halfwidth+1) keyframes, clipped at
+    # the sequence start by _build_submap's validity mask
+    center = state.n_kf - 1 - cfg.refine_halfwidth
+    tgt, tgt_mask = _build_submap(
+        state, center, cfg.refine_halfwidth, cfg.submap_points
+    )
+    planes = fit_local_planes(tgt, tgt_mask)
+    rcfg = OdometryConfig(
+        bev_init=False,
+        outer_iters=2,
+        gn_iters=4,
+        assoc_max_dist=cfg.refine_max_corr_dist,
+        prior_trans_weight=50.0,
+        prior_rot_weight=200.0,
+        max_trans_step=0.2,
+    )
+    zero_ring = jnp.zeros((cloud_xyz.shape[0],), jnp.int32)
+    curr = FeatureCloud(xyz=cloud_xyz, ring=zero_ring, mask=cloud_mask)
+    last = FeatureCloud(
+        xyz=tgt, ring=jnp.zeros((tgt.shape[0],), jnp.int32), mask=tgt_mask
+    )
+    q2, t2, n_in = scan_to_scan(
+        curr, last, planes, q, t, rcfg, curr_planes=cloud_planes
+    )
+    # left correction in the map frame: refined = corr o raw
+    corr_q, corr_t = pose_compose((q2, t2), pose_inverse((q, t)))
+    accept = (
+        (n_in >= cfg.refine_min_inliers)
+        & (jnp.linalg.norm(corr_t) < cfg.refine_max_trans)
+        & (jnp.linalg.norm(so3_log_quat(corr_q)) < cfg.refine_max_rot)
+    )
+    qid = quat_identity(corr_q.dtype)
+    q_ref = jnp.where(accept, q2, q)
+    t_ref = jnp.where(accept, t2, t)
+    corr_q = jnp.where(accept, corr_q, qid)
+    corr_t = jnp.where(accept, corr_t, jnp.zeros_like(corr_t))
+    return q_ref, t_ref, corr_q, corr_t, accept
+
+
 def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
     """ICP the current keyframe against the candidate submap; on success
     append a loop factor and run the batch pose-graph solve."""
@@ -246,6 +305,7 @@ def mapping_step(
     cloud_mask: Array,
     time: Array,
     cfg: MappingConfig = MappingConfig(),
+    cloud_planes=None,
 ) -> tuple[MapState, dict]:
     """Process one odometry frame + feature cloud.
 
@@ -253,6 +313,12 @@ def mapping_step(
     /plane_frame_cloud2, mapOptmization.cpp:473-474); returns the new state
     and {pose_q, pose_t, is_keyframe} (the /map_odom_res3 output, which also
     feeds the TUM trajectory writer :353-374).
+
+    ``cloud_planes`` (optional PlaneModel of ``cloud_xyz`` in the sensor
+    frame): when given and ``cfg.scan_to_map_refine``, each new keyframe is
+    scan-to-map refined against the recent submap before being recorded
+    (see _refine_to_submap). The ONLY_PC front-end has these normals
+    already computed; flow variants pass None and skip the stage.
     """
     # loop-corrected map pose (T_map_0_curr = trans_loop_adjust * T_fodom, :450)
     q, t = pose_compose((state.adjust_q, state.adjust_t), (odom_q, odom_t))
@@ -260,13 +326,34 @@ def mapping_step(
 
     def add_keyframe(state):
         idx = state.n_kf
+        if cfg.scan_to_map_refine and cloud_planes is not None:
+            def do_refine(state):
+                qr, tr, cq, ct, _ = _refine_to_submap(
+                    state, q, t, cloud_xyz, cloud_mask, cloud_planes, cfg
+                )
+                # fold into the running adjust so every subsequent (non-
+                # keyframe) pose inherits the correction, exactly like the
+                # loop-closure trans_loop_adjust (:327,450)
+                adj_q, adj_t = pose_compose(
+                    (cq, ct), (state.adjust_q, state.adjust_t)
+                )
+                return state._replace(adjust_q=adj_q, adjust_t=adj_t), qr, tr
+
+            state, qk, tk = jax.lax.cond(
+                idx >= cfg.refine_min_keyframes,
+                do_refine,
+                lambda s: (s, q, t),
+                state,
+            )
+        else:
+            qk, tk = q, t
         prev = jnp.maximum(idx - 1, 0)
         rel_q, rel_t = pose_between(
-            (state.kf_q[prev], state.kf_t[prev]), (q, t)
+            (state.kf_q[prev], state.kf_t[prev]), (qk, tk)
         )
         state = state._replace(
-            kf_q=row_write(state.kf_q, idx, q),
-            kf_t=row_write(state.kf_t, idx, t),
+            kf_q=row_write(state.kf_q, idx, qk),
+            kf_t=row_write(state.kf_t, idx, tk),
             kf_time=row_write(state.kf_time, idx, time),
             kf_cloud=row_write(state.kf_cloud, idx, cloud_xyz.T),
             kf_cloud_mask=row_write(state.kf_cloud_mask, idx, cloud_mask),

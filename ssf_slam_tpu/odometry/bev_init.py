@@ -46,6 +46,12 @@ def bev_pose_init(
 
     curr points should already carry the warm-start rotation; the returned
     yaw is a RESIDUAL correction about z. Returns (dyaw scalar, t [3]).
+    CAVEAT: near-periodic structure along a road makes the correlation
+    multi-peaked, and the argmax can alias one building period away from
+    the truth (observed: 0.7 m off with a confident-looking peak, and no
+    in-map score statistic separates that from the stale-warm-start case) —
+    so the caller treats this estimate as a HYPOTHESIS to verify by final
+    registration residual, not as truth (scan_to_scan's dual-anchor solve).
     """
     yaws = jnp.linspace(-yaw_span, yaw_span, n_yaw)
 

@@ -60,10 +60,18 @@ def test_onlypc_tracks_trajectory(seq):
     cfg = small_cfg(Variant.ONLY_PC)
     state, outs = run_sequence(seq, cfg)
     ate = ate_rmse(outs["pose_t"], rel_truth(seq))
-    # a dead-straight corridor is the geometric worst case (the along-road
-    # axis is near-unobservable from planes; see OdometryConfig prior notes);
-    # curved default trajectories track at ~0.02 m. Measured 0.109 m with
-    # the local-map + BEV-init + prior stack (gate was 0.35 in round 1).
+    # A dead-straight corridor is the geometric worst case (the along-road
+    # axis is near-unobservable from planes; see OdometryConfig prior
+    # notes). Round-3 forensics: the 0.109 m here is ~ALL one frame where
+    # the BEV init aliased one building period along the road (per-frame
+    # errors otherwise +-3 cm). A dual-anchor solve picking by final
+    # residual (hypothesis_pick="score") fixes THIS scene to 0.022 m — but
+    # is unsafe in dynamic scenes (a warm-anchored solve latched onto a
+    # coherent mover bloc scores a genuinely lower residual than the true
+    # pose; measured 0.04 -> 0.52 m on a mover world even with a 2x score
+    # margin), so the shipped default stays "bev" and this gate documents
+    # the aliasing tax. Mover corruption of onlyPC is the reference
+    # project's raison d'etre — the flow variants are its answer.
     assert ate < 0.15, f"onlyPC: ATE {ate:.3f} m"
 
 

@@ -185,3 +185,41 @@ def test_irls_rejects_missed_movers():
     err2, t2 = fit_err(3)
     assert err2 < err0 * 0.2, (err0, err2)
     np.testing.assert_allclose(t2, t_true, atol=0.02)
+
+
+def test_fit_local_planes_ringless():
+    """TLS plane fits on a ring-less cloud (scan-to-map submap contract,
+    odometry/scan2map.py): normals recovered on clean surfaces, collinear /
+    thick neighborhoods gated out."""
+    from ssf_slam_tpu.odometry.scan2map import fit_local_planes
+
+    rng = np.random.default_rng(0)
+    n = 512
+    ground = np.stack(
+        [rng.uniform(-10, 10, n), rng.uniform(-10, 10, n), np.zeros(n)], 1
+    )
+    wall = np.stack(
+        [rng.uniform(-10, 10, n), np.full(n, 12.0), rng.uniform(0, 4, n)], 1
+    )
+    # a line of points (rail): spread gate must reject these
+    line = np.stack(
+        [np.linspace(-5, 5, 64), np.full(64, -12.0), np.full(64, 1.0)], 1
+    )
+    # volumetric clutter (canopy): thickness gate must reject
+    blob = rng.uniform(-1, 1, (64, 3)) + np.array([8.0, -8.0, 2.0])
+    pts = np.concatenate([ground, wall, line, blob]).astype(np.float32)
+    pts += rng.normal(0, 0.003, pts.shape).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+
+    planes = fit_local_planes(jnp.asarray(pts), jnp.asarray(mask))
+    nrm = np.asarray(planes.normal)
+    val = np.asarray(planes.valid)
+
+    g_val, w_val = val[:n], val[n : 2 * n]
+    assert g_val.mean() > 0.8 and w_val.mean() > 0.8
+    # recovered normals: ground +-z, wall +-y
+    assert (np.abs(nrm[:n, 2])[g_val] > 0.95).mean() > 0.95
+    assert (np.abs(nrm[n : 2 * n, 1])[w_val] > 0.95).mean() > 0.95
+    # degenerate neighborhoods rejected
+    assert val[2 * n : 2 * n + 64].mean() < 0.2  # collinear
+    assert val[2 * n + 64 :].mean() < 0.2  # volumetric
