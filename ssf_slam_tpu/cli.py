@@ -17,6 +17,7 @@ run_Pointnet2Seg_ActiveSceneFlow.launch — pass --seg-ckpt).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 
 import numpy as np
@@ -176,6 +177,9 @@ def _run_variant(frames: list, variant_name: str, args):
     classifier = variant_name == "ssfc"
     variant = Variant.SSF if classifier else Variant(variant_name)
     cfg = PipelineConfig(variant=variant)
+    if getattr(args, "geom_refine", False):
+        cfg = cfg.replace(
+            egomotion=dataclasses.replace(cfg.egomotion, geom_refine=True))
 
     if variant in (Variant.SF, Variant.SSF):
         if args.resample > 1 and not classifier:
@@ -243,6 +247,9 @@ def _cmd_run_stream(args) -> int:
                                     args.variant)
     seg_apply = _build_seg_classifier(args) if classifier else None
     cfg = PipelineConfig(variant=Variant.SSF)
+    if getattr(args, "geom_refine", False):
+        cfg = cfg.replace(
+            egomotion=dataclasses.replace(cfg.egomotion, geom_refine=True))
 
     if args.dataset and args.dataset.endswith(".ssfb"):
         # lazy native prefetch — frames stream straight off the mmap
@@ -400,6 +407,10 @@ def main(argv=None) -> int:
             "--variant", default="seg",
             choices=["onlypc", "seg", "noseg", "sf", "ssf", "ssfc"],
         )
+        sp.add_argument(
+            "--geom-refine", action="store_true",
+            help="seg-gated point-to-plane refinement of the flow pose on "
+                 "the learned-flow variants (odometry/flow_refine.py)")
 
     sp = sub.add_parser("run", help="run a SLAM pipeline, write TUM trajectory")
     common(sp)

@@ -144,6 +144,34 @@ class EgoMotionConfig:
     # run defines the evo reference trajectory; see odometry/egomotion.py).
     irls_iters: int = 2
     irls_sigma: float = 0.05  # expected static flow error (m)
+    # Seg-gated geometric refinement of the flow pose (odometry/flow_refine):
+    # point-to-plane GN, source = static-masked previous cloud, target = the
+    # current scan's ring-diverse planes, anchored at the flow pose. The
+    # reference's SSF ego-motion is the bare seg-gated SVD (geom_refine=False,
+    # main_sju_occ_addSeg_Pointnet2_ros.py:360-378); geometry removes the
+    # spatially-correlated predicted-flow bias that the SVD inherits. Applies
+    # to the learned-flow variants (SF/SSF) only — GT-flow paths define the
+    # evo reference and stay bit-stable.
+    geom_refine: bool = False
+    refine_src_stride: int = 4  # source = every stride-th prev point
+    refine_outer: int = 2  # association passes
+    refine_gn_iters: int = 4
+    refine_assoc_max_dist: float = 0.5  # m; flow init is already cm-accurate
+    refine_huber: float = 0.03
+    # Prior information (1/sigma^2): rot sigma ~0.06 rad, trans sigma ~0.3 m.
+    # Deliberately WEAK — the prior's only job is holding directions the
+    # planes leave unobserved (corridor along-track); measured: a 100x
+    # stronger prior halves the refinement's bias removal (1.25 cm residual
+    # vs 0.5 cm) because it drags the solution back toward the flow pose in
+    # the directions geometry does constrain.
+    refine_prior_rot: float = 250.0
+    refine_prior_trans: float = 10.0
+    refine_max_rot_step: float = 0.02
+    refine_max_trans_step: float = 0.1
+    # fail-safe acceptance gates vs the flow pose
+    refine_max_trans: float = 0.3
+    refine_max_rot: float = 0.05
+    refine_min_inliers: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

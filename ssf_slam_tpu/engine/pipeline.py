@@ -39,6 +39,7 @@ from ssf_slam_tpu.odometry.egomotion import (
     ego_motion_gmm,
     ego_motion_gt_seg,
 )
+from ssf_slam_tpu.odometry.flow_refine import refine_flow_pose
 from ssf_slam_tpu.odometry.scan2scan import (
     PlaneModel,
     fit_ring_diverse_planes,
@@ -109,13 +110,20 @@ def _frame_motion(state: SlamState, scan: dict, feat: FeatureCloud,
     if variant == Variant.SEG:
         return ego_motion_gt_seg(pts, flow, scan["fg_mask"], mask)
     if variant in (Variant.NO_SEG, Variant.SF):
-        q, t, _ = ego_motion_gmm(pts, flow, mask, cfg.egomotion)
+        q, t, bg = ego_motion_gmm(pts, flow, mask, cfg.egomotion)
+        if variant == Variant.SF and cfg.egomotion.geom_refine:
+            q, t = refine_flow_pose(pts, bg & mask, feat, feat_planes,
+                                    q, t, cfg.egomotion)
         return q, t
     if variant == Variant.SSF:
         static = scan["static_mask"] & mask
-        return ego_motion_from_flow(pts, flow, static,
+        q, t = ego_motion_from_flow(pts, flow, static,
                                     irls_iters=cfg.egomotion.irls_iters,
                                     irls_sigma=cfg.egomotion.irls_sigma)
+        if cfg.egomotion.geom_refine:
+            q, t = refine_flow_pose(pts, static, feat, feat_planes,
+                                    q, t, cfg.egomotion)
+        return q, t
     raise ValueError(variant)
 
 
@@ -132,7 +140,11 @@ def slam_step(
     feat = extract_plane_features(
         scan["points"], scan["mask"], cfg.lidar, cfg.features
     )
-    if cfg.variant == Variant.ONLY_PC:
+    if cfg.variant == Variant.ONLY_PC or (
+        cfg.variant in (Variant.SF, Variant.SSF) and cfg.egomotion.geom_refine
+    ):
+        # learned-flow variants with geom_refine need the current scan's
+        # planes as the refinement target (odometry/flow_refine.py)
         curr_planes = fit_ring_diverse_planes(feat, cfg.odometry)
     else:
         curr_planes = None

@@ -8,3 +8,4 @@ from ssf_slam_tpu.odometry.egomotion import (  # noqa: F401
     ego_motion_gt_seg,
     ego_motion_gmm,
 )
+from ssf_slam_tpu.odometry.flow_refine import refine_flow_pose  # noqa: F401

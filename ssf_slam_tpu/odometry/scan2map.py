@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ssf_slam_tpu.odometry.scan2scan import PlaneModel
+from ssf_slam_tpu.ops.eig3 import smallest_eigvec_sym3
 from ssf_slam_tpu.ops.knn import knn
 from ssf_slam_tpu.ops.precision import GEOM
 
@@ -63,8 +64,7 @@ def fit_local_planes(
     cov = jnp.einsum(
         "nkc,nkd->ncd", c * w[..., None], c, precision=GEOM
     ) / wsum[..., None]
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
-    normal = evecs[..., 0]
+    evals, normal = smallest_eigvec_sym3(cov)  # ascending, closed form
     valid = (
         mask
         & (jnp.sum(w, axis=-1) >= 4)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ssf_slam_tpu.config import OdometryConfig
 from ssf_slam_tpu.frontend.features import FeatureCloud
+from ssf_slam_tpu.ops.eig3 import smallest_eigvec_sym3
 from ssf_slam_tpu.ops.grouping import group_points
 from ssf_slam_tpu.ops.knn import knn, nearest_neighbor
 from ssf_slam_tpu.ops.precision import GEOM
@@ -126,12 +127,13 @@ def fit_ring_diverse_planes(
     # Total-least-squares plane fit: normal = eigenvector of the smallest
     # eigenvalue of the centered covariance. The reference solves A n = -1 by
     # QR (cpp:207-220) — identical on valid planes, but TLS also yields the
-    # spread eigenvalues we use for the conditioning gate below.
+    # spread eigenvalues we use for the conditioning gate below. Closed-form
+    # 3x3 spectrum (ops/eig3.py): jnp.linalg.eigh on the [F,3,3] batch costs
+    # ~10 ms/scan on-chip, the analytic form is pure VPU math.
     mean5 = jnp.mean(pts5, axis=1, keepdims=True)
     c5 = pts5 - mean5
     cov = jnp.einsum("fkc,fkd->fcd", c5, c5, precision=GEOM)
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
-    normal = evecs[..., 0]  # [F, 3]
+    evals, normal = smallest_eigvec_sym3(cov)  # ascending eigenvalues
 
     # coplanarity: consecutive-pair differences projected on the normal
     # (cpp:222-232 checks |n . (p_k - p_{k+1})| > planeMax)

@@ -223,3 +223,90 @@ def test_fit_local_planes_ringless():
     # degenerate neighborhoods rejected
     assert val[2 * n : 2 * n + 64].mean() < 0.2  # collinear
     assert val[2 * n + 64 :].mean() < 0.2  # volumetric
+
+
+def test_refine_flow_pose_removes_correlated_flow_bias(world):
+    """Seg-gated geometric refinement (odometry/flow_refine.py): predicted
+    flow carries spatially-CORRELATED error (a biased patch does not average
+    out over the Kabsch fit the way white noise does), so the flow-SVD pose
+    inherits centimeter bias. Point-to-plane refinement against the current
+    scan's planes must remove most of it — geometry has no flow error."""
+    from ssf_slam_tpu.config import EgoMotionConfig
+    from ssf_slam_tpu.data.synthetic import subsample_scan
+    from ssf_slam_tpu.odometry import refine_flow_pose
+
+    rng = np.random.default_rng(7)
+    pos1, yaw1 = np.array([0.0, 0.0, 1.8]), 0.0
+    pos2, yaw2 = np.array([0.9, 0.08, 1.8]), 0.04
+
+    def scan_at(pos, yaw, seed):
+        r = np.random.default_rng(seed)
+        pts, mask, oid = simulate_scan(
+            world, pos, yaw, 0.0, pts_per_row=1024, noise=0.004, rng=r)
+        return subsample_scan(pts, mask, oid, 8192, r)
+
+    p1, m1, _ = scan_at(pos1, yaw1, 11)
+    p2m, m2, _ = scan_at(pos2, yaw2, 12)
+
+    # ground truth p_last = R_rel p_curr + t_rel
+    def rot(yaw):
+        c, s = np.cos(yaw), np.sin(yaw)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    r_rel = rot(yaw1).T @ rot(yaw2)
+    t_rel = (rot(yaw1).T @ (pos2 - pos1)).astype(np.float32)
+
+    # GT flow frame1 -> frame2 coords, corrupted by a smooth correlated bias
+    # (amplitude ~3 cm, wavelength ~20 m — the shape of real net error) plus
+    # white noise at the trained model's EPE scale
+    p1f2 = (p1 - t_rel) @ r_rel
+    flow = p1f2 - p1
+    bias = 0.03 * np.sin(p1 @ np.array(
+        [[0.3, 0.1, 0.0], [0.0, 0.25, 0.1], [0.1, 0.0, 0.2]], np.float32))
+    # ... and a one-sided component: net error concentrates on particular
+    # surfaces (the far facade, the ground ring), it is not zero-mean
+    bias[p1[:, 0] > 0] += np.array([0.03, -0.01, 0.0], np.float32)
+    flow = flow + bias + rng.normal(0, 0.01, flow.shape).astype(np.float32)
+    static = m1.copy()
+
+    cfg = EgoMotionConfig(geom_refine=True)
+    q0, t0 = ego_motion_gt_seg(
+        jnp.asarray(p1), jnp.asarray(flow),
+        jnp.zeros(len(p1), np.float32), jnp.asarray(static))
+    e0 = float(np.linalg.norm(np.asarray(t0) - t_rel))
+    assert e0 > 0.008, e0  # the correlated bias must actually bite
+
+    feat = extract_plane_features(
+        jnp.asarray(p2m), jnp.asarray(m2), LidarConfig())
+    planes = fit_ring_diverse_planes(feat)
+    q, t = refine_flow_pose(
+        jnp.asarray(p1), jnp.asarray(static), feat, planes, q0, t0, cfg)
+    e1 = float(np.linalg.norm(np.asarray(t) - t_rel))
+    assert e1 < 0.6 * e0, (e0, e1)
+    assert e1 < 0.015, (e0, e1)
+    # rotation sanity
+    np.testing.assert_allclose(
+        np.asarray(quat_to_matrix(q)), r_rel, atol=5e-3)
+
+
+def test_refine_flow_pose_failsafe_returns_flow_pose(world):
+    """With no valid target planes the gates must reject the refinement and
+    return the flow pose bit-unchanged."""
+    from ssf_slam_tpu.config import EgoMotionConfig
+    from ssf_slam_tpu.odometry import refine_flow_pose
+    from ssf_slam_tpu.odometry.scan2scan import PlaneModel
+
+    rng = np.random.default_rng(0)
+    p1 = rng.uniform(-20, 20, (1024, 3)).astype(np.float32)
+    feat = extract_plane_features(
+        jnp.asarray(p1), jnp.ones(1024, bool), LidarConfig())
+    planes = PlaneModel(
+        normal=jnp.zeros_like(feat.xyz), valid=jnp.zeros(feat.xyz.shape[0], bool))
+    q0 = jnp.array([0.0, 0.0, 0.1, 0.99])
+    q0 = q0 / jnp.linalg.norm(q0)
+    t0 = jnp.array([0.5, -0.2, 0.01])
+    q, t = refine_flow_pose(
+        jnp.asarray(p1), jnp.ones(1024, bool), feat, planes, q0, t0,
+        EgoMotionConfig(geom_refine=True))
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q0))
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(t0))

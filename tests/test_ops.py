@@ -256,3 +256,36 @@ def test_gmm_masked(rng):
     mask[:70] = True
     bg = np.asarray(gmm_background_mask(jnp.asarray(feats), jnp.asarray(mask)))
     assert not bg[70:].any()
+
+
+def test_eig3_matches_eigh(rng):
+    """Closed-form symmetric 3x3 spectrum (ops/eig3.py) vs jnp.linalg.eigh
+    on random covariance-shaped batches, including the degenerate shapes the
+    plane fits actually gate on (collinear -> rank 1, isotropic)."""
+    from ssf_slam_tpu.ops.eig3 import eigvals_sym3, smallest_eigvec_sym3
+
+    pts = rng.normal(size=(512, 5, 3)).astype(np.float32)
+    # mix in anisotropic (plane-like) neighborhoods
+    pts[:200, :, 2] *= 0.01  # thin planes
+    pts[200:260, :, 1:] *= 0.01  # near-collinear
+    pts[260:300] = pts[260:300, :1]  # identical points -> zero cov
+    c = pts - pts.mean(axis=1, keepdims=True)
+    cov = np.einsum("fkc,fkd->fcd", c, c).astype(np.float32)
+
+    evals, v = smallest_eigvec_sym3(jnp.asarray(cov))
+    evals2 = eigvals_sym3(jnp.asarray(cov))
+    np.testing.assert_allclose(np.asarray(evals), np.asarray(evals2))
+    ref_w, ref_v = np.linalg.eigh(cov)
+    scale = np.maximum(np.abs(ref_w).max(axis=-1, keepdims=True), 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(evals) / scale, ref_w / scale, atol=2e-3)
+
+    # eigenvector check where the smallest eigenvalue is isolated
+    gap = (ref_w[:, 1] - ref_w[:, 0]) / scale[:, 0]
+    iso = gap > 1e-2
+    assert iso.sum() > 300
+    dots = np.abs(np.einsum("fc,fc->f", np.asarray(v)[iso], ref_v[iso, :, 0]))
+    np.testing.assert_array_less(0.999, dots)
+    # unit norm everywhere (degenerate included)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(v), axis=-1), 1.0, atol=1e-5)
