@@ -39,12 +39,30 @@ N_FRAMES = 32
 _RETRY_ENV = "SSF_BENCH_RETRY"
 _MAX_RETRIES = 2
 
+# Hang guard: a wedged TPU tunnel can block device init (jax.devices())
+# FOREVER with ~zero CPU — observed round 3: even a trivial probe hung, no
+# exception ever raised, so the exception-retry path never fires. The
+# watchdog re-execs a fresh process (same budget as the exception path) if
+# the bench hasn't finished warmup within _WATCHDOG_SECS. Generous: a COLD
+# compile of the fused graphs takes minutes through the remote-compile
+# tunnel; a healthy warm run warms up in well under a minute.
+_WATCHDOG_SECS = float(os.environ.get("SSF_BENCH_WATCHDOG", "1500"))
+
+# Optional: measure the opt-in seg-gated geometric refinement operating
+# point (odometry/flow_refine.py) instead of the default SSF step.
+_GEOM_REFINE = os.environ.get("SSF_BENCH_GEOM_REFINE", "") == "1"
+
 
 def build_pipeline(scan_points: np.ndarray):
     from ssf_slam_tpu.config import FlowNetConfig, PipelineConfig, Variant
     from ssf_slam_tpu.models import TFlow
 
     cfg = PipelineConfig(variant=Variant.SSF)
+    if _GEOM_REFINE:
+        import dataclasses
+
+        cfg = cfg.replace(
+            egomotion=dataclasses.replace(cfg.egomotion, geom_refine=True))
     # bfloat16 feature compute: the geometry path (kNN distances, ego-motion
     # SVD, mapping) stays float32 via the GEOM precision policy.
     # banded: Morton-sorted Pallas neighbor kernels (ops/banded.py).
@@ -71,7 +89,7 @@ def build_pipeline(scan_points: np.ndarray):
     return run_cfg, jax.jit(run)
 
 
-def main() -> None:
+def main(cancel_watchdog=lambda: None) -> None:
     from ssf_slam_tpu.data.synthetic import generate_sequence
 
     frames = generate_sequence(
@@ -93,6 +111,7 @@ def main() -> None:
     # compile + warmup
     _, outs = run(scans)
     jax.block_until_ready(outs["pose_t"])
+    cancel_watchdog()  # past the hang-prone init/compile stage
 
     n_rep = 3
     t0 = time.perf_counter()
@@ -114,21 +133,42 @@ def main() -> None:
     )
 
 
+def _reexec(attempt: int, why: str) -> None:
+    print(
+        f"bench attempt {attempt + 1} {why}; re-execing fresh process",
+        file=sys.stderr, flush=True,
+    )
+    env = dict(os.environ, **{_RETRY_ENV: str(attempt + 1)})
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+              env)
+
+
 def main_with_retry() -> None:
+    import threading
+
     attempt = int(os.environ.get(_RETRY_ENV, "0"))
+
+    def on_hang():
+        # device init / compile wedged with no exception (hung tunnel).
+        # exec from the watchdog thread replaces the whole process; if the
+        # budget is spent, exit nonzero so the driver records a failure
+        # instead of blocking on a corpse.
+        if attempt >= _MAX_RETRIES:
+            print(f"bench attempt {attempt + 1} hung >{_WATCHDOG_SECS:.0f}s; "
+                  "retry budget spent", file=sys.stderr, flush=True)
+            os._exit(17)
+        _reexec(attempt, f"hung >{_WATCHDOG_SECS:.0f}s (wedged backend?)")
+
+    watchdog = threading.Timer(_WATCHDOG_SECS, on_hang)
+    watchdog.daemon = True
+    watchdog.start()
     try:
-        main()
+        main(cancel_watchdog=watchdog.cancel)
     except Exception as exc:  # noqa: BLE001 — any backend/runtime flake
+        watchdog.cancel()
         if attempt >= _MAX_RETRIES:
             raise
-        print(
-            f"bench attempt {attempt + 1} failed "
-            f"({type(exc).__name__}: {exc}); re-execing fresh process",
-            file=sys.stderr, flush=True,
-        )
-        env = dict(os.environ, **{_RETRY_ENV: str(attempt + 1)})
-        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
-                  env)
+        _reexec(attempt, f"failed ({type(exc).__name__}: {exc})")
 
 
 if __name__ == "__main__":
