@@ -51,6 +51,9 @@ _WATCHDOG_SECS = float(os.environ.get("SSF_BENCH_WATCHDOG", "1500"))
 # Optional: measure the opt-in seg-gated geometric refinement operating
 # point (odometry/flow_refine.py) instead of the default SSF step.
 _GEOM_REFINE = os.environ.get("SSF_BENCH_GEOM_REFINE", "") == "1"
+# A/B toggle for the attention+weightnet+aggregation super-fusion
+# (measured negative; config.py note — default off)
+_FUSE_ATT = os.environ.get("SSF_BENCH_FUSE_ATTENTION", "0") == "1"
 
 
 def build_pipeline(scan_points: np.ndarray):
@@ -67,7 +70,8 @@ def build_pipeline(scan_points: np.ndarray):
     # SVD, mapping) stays float32 via the GEOM precision policy.
     # banded: Morton-sorted Pallas neighbor kernels (ops/banded.py).
     net_cfg = FlowNetConfig(npoint=N_POINTS, joint_seg=True, dtype="bfloat16",
-                            neighbor_backend="banded")
+                            neighbor_backend="banded",
+                            fuse_attention=_FUSE_ATT)
     model = TFlow(cfg=net_cfg)
     rng = jax.random.PRNGKey(0)
     pc = jnp.zeros((1, N_POINTS, 3))

@@ -263,6 +263,15 @@ class FlowNetConfig:
     # on the outputs; results are approximate-kNN like "xla" but ~3x faster.
     neighbor_backend: str = "xla"
     morton_extent: float = 64.0  # half-extent (m) of the Morton code box
+    # run the cost volume's attention+weightnet+aggregation chain as one
+    # pallas kernel at inference on the banded path (ops/attention.py::
+    # cost_attention_fused). MEASURED NEGATIVE at the bench operating point
+    # (109.6 -> 101.4 scans/s; net fwd 10.7 -> 11.4 ms/scan) even though the
+    # kernel beats the XLA chain in isolation (1.35 vs 1.84 ms): the pallas
+    # boundary forfeits XLA's fusion of the chain's elementwise ops into the
+    # producer MLPs and its overlap with the neighbor kernels. Kept behind
+    # this flag as an A/B-able building block; see docs/PERFORMANCE.md.
+    fuse_attention: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from ssf_slam_tpu.models.layers import LEAKY_RATE, PointMLP
-from ssf_slam_tpu.ops.attention import attention_xla
+from ssf_slam_tpu.ops.attention import (
+    attention_xla,
+    cost_attention_fused,
+    fold_weightnet,
+)
 from ssf_slam_tpu.ops.neighbors import (
     nn_knn_group,
     nn_regroup,
@@ -68,6 +72,7 @@ class AttentiveCostVolume(nn.Module):
     dtype: jnp.dtype = jnp.float32
     backend: str = "xla"
     extent: float = 64.0
+    fuse_attention: bool = True  # super-fused inference chain (banded only)
 
     @nn.compact
     def __call__(
@@ -128,38 +133,58 @@ class AttentiveCostVolume(nn.Module):
         q_cost = cost_mlp(cost_input(q_feat, direction=direction_xyz), train)
         k_cost = cost_mlp(cost_input(k_feat, direction=direction_xyzw), train)
 
-        # --- attended features feed the aggregation weight net (:453-461).
-        # NOTE: stays on the XLA path even under backend="banded" — the
-        # fused pallas attention kernel (ops/attention.py) wins in isolation
-        # (0.27 vs 0.7 ms at l0) but LOSES end-to-end (85 vs 91 scans/s):
-        # XLA fuses these einsums into the surrounding softmax/weightnet
-        # chain and overlaps them with the neighbor kernels.
-        q_att, k_att = attention_xla(q_feat, k_feat)
+        # --- attention -> weightnet -> forward aggregation (:453-486).
+        # ``fuse_attention`` runs the whole chain as ONE pallas kernel
+        # (ops/attention.py::cost_attention_fused): attended [N, K, C]
+        # tensors, [N, K, K] dual-softmax products, and logits stay
+        # VMEM-resident; inference BatchNorms fold into the Dense weights.
+        # MEASURED NEGATIVE end-to-end (config.py note: 109.6 -> 101.4
+        # scans/s despite winning isolation 1.35 vs 1.84 ms) — default off.
+        # Second data point after the attention-only kernel (91 -> 85):
+        # on this chain XLA's producer fusion + kernel overlap beats VMEM
+        # residency even with the enclosing boundary pushed out.
         c = self.mlp[-1]
-        weightnet = nn.Sequential(
-            [
-                nn.Dense(c, use_bias=False, dtype=self.dtype),
-                nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-3, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(c // 2, use_bias=False, dtype=self.dtype),
-                nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-3, dtype=self.dtype),
-                nn.relu,
-                nn.Dense(1, dtype=self.dtype),
-            ],
-            name="weightnet",
+        use_fused = (
+            self.fuse_attention and self.backend == "banded" and not train
+            and not self.is_initializing()
+            and params_a is not None and n1 % 256 == 0
         )
-        w_q = weightnet(q_att)  # [B, N1, K, 1]
-        w_k = weightnet(k_att)
+        if use_fused:
+            wn = fold_weightnet(
+                {name: self.get_variable("params", name)
+                 for name in ("Dense_0", "BatchNorm_0", "Dense_1",
+                              "BatchNorm_1", "Dense_2")},
+                {name: self.get_variable("batch_stats", name)
+                 for name in ("BatchNorm_0", "BatchNorm_1")},
+            )
+            cost_fwd, w_k_logits = cost_attention_fused(
+                q_feat, k_feat, q_cost, wn)
+        else:
+            q_att, k_att = attention_xla(q_feat, k_feat)
+            weightnet = nn.Sequential(
+                [
+                    nn.Dense(c, use_bias=False, dtype=self.dtype),
+                    nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-3, dtype=self.dtype),
+                    nn.relu,
+                    nn.Dense(c // 2, use_bias=False, dtype=self.dtype),
+                    nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-3, dtype=self.dtype),
+                    nn.relu,
+                    nn.Dense(1, dtype=self.dtype),
+                ],
+                name="weightnet",
+            )
+            w_q = weightnet(q_att)  # [B, N1, K, 1]
+            w_k_logits = weightnet(k_att)[..., 0]
 
-        # --- forward cost: learned softmax over the patch (:469,486)
-        weights1 = jax.nn.softmax(w_q, axis=-2)
-        cost_fwd = jnp.sum(weights1 * q_cost, axis=-2)  # [B, N1, C]
+            # --- forward cost: learned softmax over the patch (:469,486)
+            weights1 = jax.nn.softmax(w_q, axis=-2)
+            cost_fwd = jnp.sum(weights1 * q_cost, axis=-2)  # [B, N1, C]
 
         # --- backward cost: scatter-softmax onto pc2 (:471-484)
         cost_bwd = nn_scatter_softmax_sum(
-            k_cost, w_k[..., 0], knn_idxw, n2, plan_b, params_b
+            k_cost, w_k_logits, knn_idxw, n2, plan_b, params_b
         ).astype(k_cost.dtype)  # [B, N2, C]
 
         # --- patch-to-patch grouping + MLP + max (:489-509)

@@ -99,6 +99,7 @@ class TFlow(nn.Module):
                 cfg.cost_nsample, mlp, flow_mlp, use_flow=use_flow,
                 out_channels=out_ch, flow_clamp=cfg.flow_clamp, dtype=dtype,
                 backend=backend, extent=extent,
+                fuse_attention=cfg.fuse_attention,
             )
 
         self.flow3_r = mk_cost((256, 256), (128, 128), use_flow=False)

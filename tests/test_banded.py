@@ -203,6 +203,140 @@ def test_fused_attention_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_cost_attention_superfusion_matches_xla():
+    """attention+weightnet+fwd-aggregation super-kernel == XLA reference."""
+    from ssf_slam_tpu.ops.attention import (
+        cost_attention_fused,
+        cost_attention_xla,
+    )
+
+    rng = np.random.default_rng(11)
+    B, N, K, C = 2, 256, 8, 32
+    q = jnp.asarray(rng.normal(size=(B, N, K, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, N, K, C)).astype(np.float32))
+    qc = jnp.asarray(rng.normal(size=(B, N, K, C)).astype(np.float32))
+    wn = tuple(
+        jnp.asarray(rng.normal(size=s, scale=0.3).astype(np.float32))
+        for s in [(C, C), (C,), (C, C // 2), (C // 2,), (C // 2, 1), (1,)]
+    )
+    cf_x, wk_x = cost_attention_xla(q, k, qc, wn)
+    cf_f, wk_f = cost_attention_fused(q, k, qc, wn)
+    np.testing.assert_allclose(np.asarray(cf_f), np.asarray(cf_x),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(wk_f), np.asarray(wk_x),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(fn):
+        def go(q, k, qc):
+            a, b = fn(q, k, qc, wn)
+            return jnp.sum(a * a) + jnp.sum(jnp.abs(b))
+        return go
+
+    g_f = jax.grad(loss(cost_attention_fused), argnums=(0, 1, 2))(q, k, qc)
+    g_x = jax.grad(loss(cost_attention_xla), argnums=(0, 1, 2))(q, k, qc)
+    for a, b in zip(g_f, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fold_weightnet_matches_sequential():
+    """BN folding == the inference-mode Dense/BN/relu Sequential."""
+    import flax.linen as nn
+
+    from ssf_slam_tpu.ops.attention import fold_weightnet
+
+    C = 16
+
+    class WN(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Sequential([
+                nn.Dense(C, use_bias=False),
+                nn.BatchNorm(use_running_average=True, momentum=0.9,
+                             epsilon=1e-3),
+                nn.relu,
+                nn.Dense(C // 2, use_bias=False),
+                nn.BatchNorm(use_running_average=True, momentum=0.9,
+                             epsilon=1e-3),
+                nn.relu,
+                nn.Dense(1),
+            ])(x)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(64, C)).astype(np.float32))
+    m = WN()
+    v = m.init(jax.random.PRNGKey(0), x)
+    # non-trivial running stats
+    bs = jax.tree.map(
+        lambda a: a + jnp.asarray(
+            rng.normal(size=a.shape, scale=0.1).astype(np.float32)) ** 2,
+        v["batch_stats"])
+    ref = m.apply({"params": v["params"], "batch_stats": bs}, x)
+
+    w1, b1, w2, b2, w3, b3 = fold_weightnet(v["params"], bs)
+    h = jax.nn.relu(x @ w1 + b1)
+    h = jax.nn.relu(h @ w2 + b2)
+    out = h @ w3 + b3
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_costvolume_fused_attention_matches_unfused():
+    """AttentiveCostVolume banded inference: super-fused == XLA chain.
+
+    Same variables, same banded kNN/grouping — the only difference is the
+    attention+weightnet+aggregation implementation, so outputs must agree
+    to float tolerance.
+    """
+    from ssf_slam_tpu.models.costvolume import AttentiveCostVolume
+
+    rng = np.random.default_rng(23)
+    B, N, C = 1, 1024, 16
+    xyz1 = jnp.asarray(_lidar_cloud(rng, N))[None]
+    xyz2 = xyz1 + jnp.asarray(
+        rng.normal(size=(B, N, 3), scale=0.05).astype(np.float32))
+    f1 = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+    kw = dict(nsample=8, mlp=(32, 32, 32), flow_mlp=(32, 32),
+              use_flow=False, backend="banded")
+    m_f = AttentiveCostVolume(**kw, fuse_attention=True)
+    m_u = AttentiveCostVolume(**kw, fuse_attention=False)
+    v = m_f.init(jax.random.PRNGKey(0), xyz1, xyz2, None, f1, f2)
+    out_f = m_f.apply(v, xyz1, xyz2, None, f1, f2)
+    out_u = m_u.apply(v, xyz1, xyz2, None, f1, f2)
+    for a, b, name in zip(out_f, out_u,
+                          ("cost_fwd", "cost_bwd", "flow_feats", "re_sf")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+            err_msg=name)
+
+
+def test_segnet_banded_backend_agrees_with_xla():
+    """SegNet on the banded engine: same params, argmax masks must agree
+    with the exact-ish XLA path almost everywhere (banded kNN is
+    approximate; logits differ only where neighbor sets differ)."""
+    from ssf_slam_tpu.models.segnet import SegNet
+
+    rng = np.random.default_rng(31)
+    N = 2048
+    xyz = jnp.asarray(_lidar_cloud(rng, N))[None]
+    flow = jnp.asarray(rng.normal(size=(1, N, 3), scale=0.1).astype(
+        np.float32))
+
+    kw = dict(n_classes=2, sa_npoints=(1024, 256), sa_nsample=(8, 8),
+              sa_mlps=((16, 16), (32, 32)), head=(32, 32))
+    m_x = SegNet(**kw, neighbor_backend="xla")
+    m_b = SegNet(**kw, neighbor_backend="banded")
+    v = m_x.init(jax.random.PRNGKey(0), xyz, flow)
+    lx = m_x.apply(v, xyz, flow)
+    lb = m_b.apply(v, xyz, flow)  # same params: sort adds none
+    assert lb.shape == lx.shape
+    agree = float(
+        (np.asarray(lb).argmax(-1) == np.asarray(lx).argmax(-1)).mean())
+    assert agree > 0.9, agree
+
+
 def test_morton_sort_roundtrip():
     rng = np.random.default_rng(5)
     pts = jnp.asarray(rng.uniform(-30, 30, (3, 512, 3)).astype(np.float32))
