@@ -135,7 +135,8 @@ def _build_seg_classifier(args):
 
     from ssf_slam_tpu.models.segnet import SegNet
 
-    model = SegNet(n_classes=2, dtype=jnp.bfloat16)
+    model = SegNet(n_classes=2, dtype=jnp.bfloat16,
+                   neighbor_backend=args.neighbor_backend)
     xyz0 = jnp.zeros((1, args.n_points, 3))
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), xyz0, xyz0))()

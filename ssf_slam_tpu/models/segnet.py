@@ -18,12 +18,23 @@ import jax
 import jax.numpy as jnp
 
 from ssf_slam_tpu.models.layers import PointMLP, SetAbstraction, SetUpConv
+from ssf_slam_tpu.ops.neighbors import (
+    cloud_box,
+    invert_permutation,
+    morton_sort,
+)
 
 Array = jax.Array
 
 
 class SegNet(nn.Module):
-    """PointNet++ sem-seg: [B,N,3] xyz + [B,N,C] feats -> [B,N,n_classes]."""
+    """PointNet++ sem-seg: [B,N,3] xyz + [B,N,C] feats -> [B,N,n_classes].
+
+    ``neighbor_backend="banded"`` Morton-sorts the cloud at the stem and
+    restores input order on the logits, running the SA/FP neighbor ops
+    through the Pallas banded engine (ops/banded.py) — same fast path as
+    TFlow, so the ssfc classifier adds no XLA-kNN calls to the fused step.
+    """
 
     n_classes: int = 2
     sa_npoints: Sequence[int] = (1024, 256)
@@ -32,6 +43,8 @@ class SegNet(nn.Module):
     head: Sequence[int] = (128, 64)
     n_sa_levels: int = 2
     dtype: jnp.dtype = jnp.float32
+    neighbor_backend: str = "xla"
+    morton_extent: float = 64.0
 
     @nn.compact
     def __call__(
@@ -43,6 +56,13 @@ class SegNet(nn.Module):
                          dtype=self.dtype)(feats, train)
             return nn.Dense(self.n_classes, dtype=self.dtype)(x)
 
+        perm = None
+        box = None
+        if self.neighbor_backend == "banded":
+            box = cloud_box(xyz)
+            xyz, perm = morton_sort(xyz, box=box)
+            feats = jnp.take_along_axis(feats, perm[..., None], axis=-2)
+
         x = PointMLP((32,), use_bn=True, leaky=False, dtype=self.dtype,
                      name="stem")(jnp.concatenate([xyz, feats], -1), train)
         xyzs, skips = [xyz], [x]
@@ -52,8 +72,10 @@ class SegNet(nn.Module):
                 nsample=self.sa_nsample[i],
                 mlp=self.sa_mlps[i],
                 dtype=self.dtype,
+                backend=self.neighbor_backend,
+                extent=self.morton_extent,
                 name=f"sa{i + 1}",
-            )(xyzs[-1], x, train)
+            )(xyzs[-1], x, train, box=box)
             xyzs.append(sxyz)
             skips.append(x)
         for i in reversed(range(self.n_sa_levels)):
@@ -62,8 +84,14 @@ class SegNet(nn.Module):
                 (self.sa_mlps[i][-1],),
                 (self.sa_mlps[i][-1],),
                 dtype=self.dtype,
+                backend=self.neighbor_backend,
+                extent=self.morton_extent,
                 name=f"fp{i + 1}",
-            )(xyzs[i], xyzs[i + 1], skips[i], x, train)
+            )(xyzs[i], xyzs[i + 1], skips[i], x, train, box=box)
         x = PointMLP(self.head, use_bn=True, leaky=False, dtype=self.dtype,
                      name="head")(x, train)
-        return nn.Dense(self.n_classes, dtype=self.dtype)(x)
+        logits = nn.Dense(self.n_classes, dtype=self.dtype)(x)
+        if perm is not None:
+            logits = jnp.take_along_axis(
+                logits, invert_permutation(perm)[..., None], axis=-2)
+        return logits
