@@ -18,12 +18,18 @@ SMALL_MAP = MappingConfig(max_keyframes=64, submap_points=2048, icp_iters=10,
                           loop_submap_halfwidth=3)
 
 
+N_PTS = 4096  # suite operating point: full-size 8192 runs on-chip
+# (bench.py, the driver dryrun) and in test_parallel's sharded test
+
+
 def small_cfg(variant: Variant) -> PipelineConfig:
-    return PipelineConfig(
+    cfg = PipelineConfig(
         variant=variant,
         features=FeatureConfig(max_features=2048),
         mapping=SMALL_MAP,
     )
+    return cfg.replace(
+        lidar=dataclasses.replace(cfg.lidar, max_points=N_PTS))
 
 
 @pytest.fixture(scope="module")
@@ -33,7 +39,7 @@ def seq():
         return np.array([1.2 * k, 0.05 * k, 1.8]), 0.04 * k
 
     return generate_sequence(
-        n_frames=12, n_points=8192, seed=11, noise=0.004, n_moving=0,
+        n_frames=8, n_points=N_PTS, seed=11, noise=0.004, n_moving=0,
         trajectory=traj,
     )
 
@@ -56,8 +62,22 @@ def test_flow_variants_track_trajectory(seq, variant):
     assert ate < 0.05, f"{variant}: ATE {ate:.3f} m"
 
 
-def test_onlypc_tracks_trajectory(seq):
-    cfg = small_cfg(Variant.ONLY_PC)
+def test_onlypc_tracks_trajectory():
+    # onlyPC needs full ring density: plane-fit curvature gates are
+    # calibrated to azimuth spacing (same effect as the 64-row test's
+    # density analysis; measured 0.305 m ATE at 4096 pts vs 0.109 at 8192)
+    def traj(k):
+        return np.array([1.2 * k, 0.05 * k, 1.8]), 0.04 * k
+
+    seq = generate_sequence(
+        n_frames=8, n_points=8192, seed=11, noise=0.004, n_moving=0,
+        trajectory=traj,
+    )
+    cfg = PipelineConfig(
+        variant=Variant.ONLY_PC,
+        features=FeatureConfig(max_features=2048),
+        mapping=SMALL_MAP,
+    )
     state, outs = run_sequence(seq, cfg)
     ate = ate_rmse(outs["pose_t"], rel_truth(seq))
     # A dead-straight corridor is the geometric worst case (the along-road
@@ -80,7 +100,7 @@ def test_seg_variant_with_movers():
         return np.array([1.0 * k, 0.0, 1.8]), 0.0
 
     seq = generate_sequence(
-        n_frames=10, n_points=8192, seed=13, noise=0.004, n_moving=4,
+        n_frames=8, n_points=N_PTS, seed=13, noise=0.004, n_moving=4,
         trajectory=traj,
     )
     cfg = small_cfg(Variant.SEG)
@@ -126,14 +146,14 @@ def test_fused_ssf_step(seq):
     from ssf_slam_tpu.models import TFlow
 
     net_cfg = FlowNetConfig(
-        npoint=8192, sa_npoints=(512, 128, 64, 32), sa_nsample=(8, 8, 8, 8),
+        npoint=N_PTS, sa_npoints=(256, 64, 32, 16), sa_nsample=(8, 8, 8, 8),
         cost_nsample=8, joint_seg=True,
     )
     model = TFlow(cfg=net_cfg)
     rng = jax.random.PRNGKey(0)
     import jax.numpy as jnp
 
-    pc = jnp.zeros((1, 8192, 3))
+    pc = jnp.zeros((1, N_PTS, 3))
     variables = jax.jit(model.init)(rng, pc, pc)
     cfg = small_cfg(Variant.SSF)
     state, outs = run_sequence_fused(model, variables, seq[:4], cfg)
@@ -215,7 +235,7 @@ def test_loop_closure_improves_ate_full_engine():
     from ssf_slam_tpu.engine import ate_rmse, run_sequence
 
     frames = generate_sequence(
-        n_frames=110, n_points=4096, seed=21, noise=0.004, n_moving=0,
+        n_frames=72, n_points=4096, seed=21, noise=0.004, n_moving=0,
         trajectory="loop",
     )
     for f in frames:
@@ -225,8 +245,9 @@ def test_loop_closure_improves_ate_full_engine():
     base = PipelineConfig(variant=Variant.NO_SEG)
     base = base.replace(
         lidar=dataclasses.replace(base.lidar, max_points=4096),
-        # gates scaled to the 110-frame circuit: the return leg re-enters
-        # the search radius a few seconds after the outbound pass
+        # gates scaled to the 72-frame circuit: the return leg re-enters
+        # the search radius >5 s after the outbound pass only on the first
+        # ~11 outbound frames (gap = 7.2 - 0.2*i seconds at dt=0.1)
         mapping=dataclasses.replace(
             base.mapping, loop_search_radius=8.0, loop_time_gap=5.0,
             loop_skip_after_close=10),
@@ -281,12 +302,12 @@ def test_fused_ssfc_classifier_step(seq):
     from ssf_slam_tpu.models.segnet import SegNet
 
     net_cfg = FlowNetConfig(
-        npoint=8192, sa_npoints=(512, 128, 64, 32), sa_nsample=(8, 8, 8, 8),
+        npoint=N_PTS, sa_npoints=(256, 64, 32, 16), sa_nsample=(8, 8, 8, 8),
         cost_nsample=8, joint_seg=True,
     )
     model = TFlow(cfg=net_cfg)
     rng = jax.random.PRNGKey(0)
-    pc = jnp.zeros((1, 8192, 3))
+    pc = jnp.zeros((1, N_PTS, 3))
     variables = jax.jit(model.init)(rng, pc, pc)
 
     seg = SegNet(n_classes=2, sa_npoints=(256, 64), head=(32, 32),
@@ -315,12 +336,12 @@ def test_streaming_runner(seq, tmp_path):
     from ssf_slam_tpu.models import TFlow
 
     net_cfg = FlowNetConfig(
-        npoint=8192, sa_npoints=(512, 128, 64, 32), sa_nsample=(8, 8, 8, 8),
+        npoint=N_PTS, sa_npoints=(256, 64, 32, 16), sa_nsample=(8, 8, 8, 8),
         cost_nsample=8, joint_seg=True,
     )
     model = TFlow(cfg=net_cfg)
     rng = jax.random.PRNGKey(0)
-    pc = jnp.zeros((1, 8192, 3))
+    pc = jnp.zeros((1, N_PTS, 3))
     variables = jax.jit(model.init)(rng, pc, pc)
     cfg = small_cfg(Variant.SSF)
 
@@ -356,7 +377,7 @@ def test_onlypc_64row_operating_point():
 
     n = 131072
     seq64 = generate_sequence(
-        n_frames=6, n_points=n, n_rows=64, seed=13, noise=0.002,
+        n_frames=4, n_points=n, n_rows=64, seed=13, noise=0.002,
         n_moving=0, trajectory=traj,
     )
     lidar64 = LidarConfig(n_scan_rows=64, max_points=n)
