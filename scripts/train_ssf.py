@@ -104,7 +104,24 @@ def main() -> int:
                    help="hybrid FG/BG sampling target per training frame")
     p.add_argument("--hard", action="store_true",
                    help="slow/crossing-mover corpus (round-3 recipe)")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start params/batch_stats from DIR/best "
+                        "(fresh optimizer; for fine-tuning)")
+    p.add_argument("--best-criterion", default="epe",
+                   help="'epe' (min held-out EPE, reference "
+                        "model.best.t7 semantics) or 'gated:<iou>' "
+                        "(min EPE among epochs with moving-IoU >= "
+                        "<iou> — targets seg recall without trading "
+                        "it for flow accuracy)")
+    p.add_argument("--seg-weight", type=float, default=1.0,
+                   help="scale on the joint-seg BCE term")
     args = p.parse_args()
+
+    gate_iou = 0.0
+    if args.best_criterion.startswith("gated:"):
+        gate_iou = float(args.best_criterion.split(":", 1)[1])
+    elif args.best_criterion != "epe":
+        p.error(f"unknown --best-criterion {args.best_criterion!r}")
 
     from ssf_slam_tpu.config import FlowNetConfig, LossConfig, TrainConfig
     from ssf_slam_tpu.data.carla import compute_label_weights
@@ -134,10 +151,16 @@ def main() -> int:
     model = TFlow(cfg=net_cfg)
     tcfg = TrainConfig(lr=args.lr, batch_size=args.batch_size,
                        epochs=args.epochs)
-    loss_cfg = LossConfig(seg_class_weights=(float(lw[0]), float(lw[1])))
+    loss_cfg = LossConfig(seg_class_weights=(float(lw[0]), float(lw[1])),
+                          seg_weight=args.seg_weight)
 
     state, tx = create_train_state(model, jax.random.PRNGKey(tcfg.seed),
                                    N_POINTS, tcfg)
+    if args.init_from:
+        from ssf_slam_tpu.train.trainer import load_checkpoint
+
+        state = load_checkpoint(os.path.abspath(args.init_from), state)
+        print(f"warm-started from {args.init_from}/best", flush=True)
     step_fn = make_train_step(model, tx, tcfg, loss_cfg)
     eval_fn = make_eval_step(model)
 
@@ -205,7 +228,8 @@ def main() -> int:
         logger.metrics(int(state.step), epoch=epoch, epoch_loss=epoch_loss,
                        **agg)
 
-        if agg["epe3d"] < best_epe:
+        qualifies = agg.get("iou_moving", 0.0) >= gate_iou
+        if qualifies and agg["epe3d"] < best_epe:
             best_epe = agg["epe3d"]
             save_checkpoint(os.path.abspath(args.out), state)
         save_last(epoch)
@@ -214,6 +238,9 @@ def main() -> int:
             logger.cprint(f"max-seconds reached at epoch {epoch}; stopping")
             break
 
+    if gate_iou and not np.isfinite(best_epe):
+        logger.cprint(f"WARNING: no epoch met the moving-IoU gate "
+                      f"{gate_iou}; no best checkpoint written")
     logger.close()
     return 0
 
