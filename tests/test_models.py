@@ -27,13 +27,13 @@ def tiny_model(rngs):
     model = TFlow(cfg=TINY)
     pc1 = jax.random.normal(rngs, (2, 256, 3))
     pc2 = pc1 + 0.1
-    variables = model.init(rngs, pc1, pc2)
+    variables = jax.jit(model.init)(rngs, pc1, pc2)
     return model, variables, pc1, pc2
 
 
 def test_tflow_shapes(tiny_model):
     model, variables, pc1, pc2 = tiny_model
-    flows, fps_inds = model.apply(variables, pc1, pc2)
+    flows, fps_inds = jax.jit(model.apply)(variables, pc1, pc2)
     assert [f.shape for f in flows] == [
         (2, 256, 3), (2, 128, 3), (2, 64, 3), (2, 32, 3)
     ]
@@ -55,8 +55,8 @@ def test_tflow_joint_seg_four_channels(rngs):
 
     model = TFlow(cfg=dataclasses.replace(TINY, joint_seg=True))
     pc1 = jax.random.normal(rngs, (1, 256, 3))
-    variables = model.init(rngs, pc1, pc1)
-    flows, _ = model.apply(variables, pc1, pc1)
+    variables = jax.jit(model.init)(rngs, pc1, pc1)
+    flows, _ = jax.jit(model.apply)(variables, pc1, pc1)
     assert flows[0].shape == (1, 256, 4)
 
 
@@ -69,7 +69,7 @@ def test_multi_scale_loss_grads(tiny_model):
         flows, fps = model.apply({**variables, "params": params}, pc1, pc2)
         return multi_scale_loss(flows, gt, mask, fps)
 
-    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
     assert np.isfinite(float(loss)) and float(loss) > 0
     gnorm = jnp.sqrt(
         sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
@@ -79,7 +79,7 @@ def test_multi_scale_loss_grads(tiny_model):
 
 def test_loss_zero_when_perfect(tiny_model):
     model, variables, pc1, pc2 = tiny_model
-    flows, fps = model.apply(variables, pc1, pc2)
+    flows, fps = jax.jit(model.apply)(variables, pc1, pc2)
     # supervise each level with its own prediction upsampled: perfect at l0
     gt = flows[0]
     # exact-zero only at level 0; coarse levels differ -> loss small but > 0
@@ -93,8 +93,8 @@ def test_segnet(rngs):
     net = SegNet()
     xyz = jax.random.normal(rngs, (2, 512, 3))
     feats = jax.random.normal(rngs, (2, 512, 3))  # flow as features
-    variables = net.init(rngs, xyz, feats)
-    logits = net.apply(variables, xyz, feats)
+    variables = jax.jit(net.init)(rngs, xyz, feats)
+    logits = jax.jit(net.apply)(variables, xyz, feats)
     assert logits.shape == (2, 512, 2)
     assert np.isfinite(np.asarray(logits)).all()
 
@@ -123,8 +123,12 @@ def test_predict_flow_resampled(tiny_model, rngs):
     from ssf_slam_tpu.models.inference import predict_flow, predict_flow_resampled
 
     model, variables, pc1, pc2 = tiny_model
-    single = predict_flow(model, variables, pc1, pc2)
-    ens = predict_flow_resampled(model, variables, pc1, pc2, rngs, n_resample=3)
+    single = jax.jit(
+        lambda a, b: predict_flow(model, variables, a, b))(pc1, pc2)
+    ens = jax.jit(
+        lambda a, b, r: predict_flow_resampled(model, variables, a, b, r,
+                                               n_resample=3)
+    )(pc1, pc2, rngs)
     assert ens.shape == single.shape
     assert np.isfinite(np.asarray(ens)).all()
     # ensemble differs from the unpermuted single pass (FPS depends on order)
