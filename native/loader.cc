@@ -226,4 +226,100 @@ void ssfb_close(void* handle) {
   delete s;
 }
 
+// ---------------------------------------------------------------------------
+// striped multi-sequence reader: one stream per device for the shard_map
+// multi-sequence engine (parallel/mesh.py). Each stream keeps its own
+// prefetch thread; ssfb_stripe_next gathers frame f of every stream into
+// caller-provided batch buffers ([n_seqs, n_points, dim] row-major), so the
+// Python feed thread does ONE ctypes call per scan step (GIL released for
+// the whole page-wait + memcpy) and hands jax a ready [S, ...] block.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Stripe {
+  std::vector<Sequence*> seqs;
+  uint32_t n_frames_min = 0;
+};
+
+}  // namespace
+
+void* ssfb_stripe_open(const char* const* paths, int n_seqs) {
+  if (n_seqs <= 0) return nullptr;
+  auto* st = new Stripe();
+  for (int i = 0; i < n_seqs; ++i) {
+    void* h = ssfb_open(paths[i]);
+    if (h == nullptr) {
+      for (auto* s : st->seqs) ssfb_close(s);
+      delete st;
+      return nullptr;
+    }
+    st->seqs.push_back(static_cast<Sequence*>(h));
+  }
+  // streams must agree on layout (one compiled step shape serves all)
+  const Header& h0 = st->seqs[0]->header;
+  st->n_frames_min = h0.n_frames;
+  for (auto* s : st->seqs) {
+    if (s->header.n_points != h0.n_points ||
+        s->header.n_fields != h0.n_fields) {
+      for (auto* q : st->seqs) ssfb_close(q);
+      delete st;
+      return nullptr;
+    }
+    if (s->header.n_frames < st->n_frames_min)
+      st->n_frames_min = s->header.n_frames;
+  }
+  return st;
+}
+
+void ssfb_stripe_info(void* handle, uint32_t* n_frames, uint32_t* n_points,
+                      uint32_t* n_fields) {
+  auto* st = static_cast<Stripe*>(handle);
+  *n_frames = st->n_frames_min;
+  *n_points = st->seqs[0]->header.n_points;
+  *n_fields = st->seqs[0]->header.n_fields;
+}
+
+int ssfb_stripe_field_index(void* handle, const char* name) {
+  auto* st = static_cast<Stripe*>(handle);
+  return ssfb_field_index(st->seqs[0], name);
+}
+
+void ssfb_stripe_start(void* handle, int64_t start, int64_t stride) {
+  auto* st = static_cast<Stripe*>(handle);
+  for (auto* s : st->seqs) ssfb_prefetch_start(s, start, stride);
+}
+
+// Blocks until frame f is page-resident in EVERY stream, then scatters each
+// stream's requested fields into outs[j] + i * field_floats (i = stream,
+// j = field). All streams share (start, stride), so their ssfb_next cursors
+// advance in lockstep. Returns the frame index, or -1 past the shortest
+// stream.
+int64_t ssfb_stripe_next(void* handle, const int* fields, int n_req,
+                         float* const* outs) {
+  auto* st = static_cast<Stripe*>(handle);
+  int64_t f = -1;
+  for (size_t i = 0; i < st->seqs.size(); ++i) {
+    Sequence* s = st->seqs[i];
+    int64_t fi = ssfb_next(s);
+    if (fi < 0 || fi >= (int64_t)st->n_frames_min) return -1;
+    if (f < 0) f = fi;
+    // lockstep contract: same (start, stride) => same frame everywhere
+    if (fi != f) return -2;
+    for (int j = 0; j < n_req; ++j) {
+      const float* src = ssfb_frame_ptr(s, fi, fields[j]);
+      size_t floats =
+          (size_t)s->header.n_points * s->header.field_dims[fields[j]];
+      std::memcpy(outs[j] + i * floats, src, floats * sizeof(float));
+    }
+  }
+  return f;
+}
+
+void ssfb_stripe_close(void* handle) {
+  auto* st = static_cast<Stripe*>(handle);
+  for (auto* s : st->seqs) ssfb_close(s);
+  delete st;
+}
+
 }  // extern "C"

@@ -171,3 +171,109 @@ class SsfbSequence:
             self.close()
         except Exception as exc:  # never raise from __del__, but say why
             warnings.warn(f"SsfbSequence teardown failed: {exc}")
+
+
+class SsfbStripe:
+    """Striped multi-sequence reader: one stream per device.
+
+    The native layer prefetches every stream on its own thread and gathers
+    frame k of ALL streams into persistent batch buffers ([S, N, dim]
+    row-major) in one ctypes call — the GIL is released across the page
+    wait + memcpy, and the buffers are double-buffered so the batch handed
+    to jax for step k stays valid while the native side fills k+1. This is
+    the host feed for ``run_sequences_sharded_streaming``
+    (parallel/mesh.py): the scale-out replacement for the reference's
+    one-rospy-process-per-sequence pattern.
+    """
+
+    def __init__(self, paths: list[str],
+                 fields: tuple[str, ...] = ("pos1", "mask1", "time")):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("libssfb.so unavailable (run make -C native)")
+        self._lib = lib
+        self._register_stripe_abi(lib)
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths])
+        self._h = lib.ssfb_stripe_open(arr, len(paths))
+        if not self._h:
+            raise IOError(f"cannot open stripe over {paths}")
+        nf, npnt, nfield = (ctypes.c_uint32() for _ in range(3))
+        lib.ssfb_stripe_info(self._h, ctypes.byref(nf), ctypes.byref(npnt),
+                             ctypes.byref(nfield))
+        self.n_seqs = len(paths)
+        self.n_frames = nf.value
+        self.n_points = npnt.value
+        self.fields = tuple(fields)
+        self._idx = []
+        self._dims = []
+        for name in self.fields:
+            i = lib.ssfb_stripe_field_index(self._h, name.encode())
+            if i < 0:
+                raise KeyError(name)
+            self._idx.append(i)
+            self._dims.append(dict(_FIELDS)[name])
+        self._fidx = (ctypes.c_int * len(self._idx))(*self._idx)
+        # double buffers: the yielded batch must survive one more next() call
+        self._bufs = [
+            [np.empty((self.n_seqs, self.n_points * d), np.float32)
+             for d in self._dims]
+            for _ in range(2)
+        ]
+        self._flip = 0
+
+    @staticmethod
+    def _register_stripe_abi(lib):
+        if getattr(lib, "_stripe_abi_done", False):
+            return
+        lib.ssfb_stripe_open.restype = ctypes.c_void_p
+        lib.ssfb_stripe_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                         ctypes.c_int]
+        lib.ssfb_stripe_info.argtypes = [ctypes.c_void_p] + [
+            ctypes.POINTER(ctypes.c_uint32)] * 3
+        lib.ssfb_stripe_field_index.restype = ctypes.c_int
+        lib.ssfb_stripe_field_index.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_char_p]
+        lib.ssfb_stripe_start.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_int64]
+        lib.ssfb_stripe_next.restype = ctypes.c_int64
+        lib.ssfb_stripe_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ]
+        lib.ssfb_stripe_close.argtypes = [ctypes.c_void_p]
+        lib._stripe_abi_done = True
+
+    def batches(self, start: int = 0, stride: int = 1):
+        """Yield (frame_idx, {field: [S, N, dim] or [S, N]}) per scan step."""
+        self._lib.ssfb_stripe_start(self._h, start, stride)
+        while True:
+            bufs = self._bufs[self._flip]
+            self._flip ^= 1
+            outs = (ctypes.POINTER(ctypes.c_float) * len(bufs))(*[
+                b.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                for b in bufs
+            ])
+            f = self._lib.ssfb_stripe_next(self._h, self._fidx, len(bufs),
+                                           outs)
+            if f == -2:
+                raise RuntimeError("stripe streams desynchronized")
+            if f < 0:
+                return
+            batch = {}
+            for name, dim, buf in zip(self.fields, self._dims, bufs):
+                batch[name] = (buf.reshape(self.n_seqs, self.n_points, dim)
+                               if dim > 1
+                               else buf.reshape(self.n_seqs, self.n_points))
+            yield int(f), batch
+
+    def close(self):
+        if self._h:
+            self._lib.ssfb_stripe_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception as exc:
+            warnings.warn(f"SsfbStripe teardown failed: {exc}")

@@ -212,3 +212,121 @@ def run_sequences_sharded(frames_batch: list, cfg: PipelineConfig,
 
     states, outs = run(scans)
     return states, outs
+
+
+def run_sequences_sharded_streaming(
+    batches,
+    cfg: PipelineConfig,
+    mesh: Mesh,
+    model,
+    variables,
+    use_gmm: bool = False,
+    box_margin: float = 100.0,
+):
+    """ONLINE multi-sequence engine: one shard_map'd fused step per arriving
+    frame-block, one sequence per device.
+
+    ``batches`` is an iterator of ``(frame_idx, {pos1 [S,N,3], mask1 [S,N],
+    time [S,N]})`` blocks — in production the native striped reader
+    (data/ssfb.py::SsfbStripe.batches(), one mmap'd stream per device with
+    its own prefetch thread and a single GIL-released gather per step).
+    This is the live counterpart of ``run_sequences_sharded``: the batch
+    engine lax.scans preloaded sequences; here the carry (SLAM state +
+    cached tower, both device-sharded) persists across host-dispatched
+    steps while scans stream in — the reference's one-ROS-process-per-
+    sequence deployment collapsed onto one host thread and S devices.
+
+    The Morton box is anchored at the first block plus ``box_margin`` m of
+    travel headroom (same online-box contract as engine/streaming.py).
+    Returns (final sharded carry, outs stacked [S, T, ...], stats dict with
+    per-step latency).
+    """
+    import time
+
+    from jax.experimental.shard_map import shard_map
+
+    from ssf_slam_tpu.engine.fused import make_fused_step, sequence_box
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    spec = P(mesh.axis_names[0])
+    sharding = NamedSharding(mesh, spec)
+
+    it = iter(batches)
+    try:
+        _, first = next(it)
+    except StopIteration:
+        raise ValueError("empty stream")
+    assert first["pos1"].shape[0] == n_dev, (
+        f"stripe width {first['pos1'].shape[0]} != mesh devices {n_dev}")
+
+    box = None
+    if model.cfg.neighbor_backend == "banded":
+        pts = np.asarray(first["pos1"]).reshape(-1, 3)
+        box = sequence_box(np.concatenate([pts - box_margin,
+                                           pts + box_margin]))
+    step_fn, run_cfg, make_carry = make_fused_step(model, variables, cfg,
+                                                   use_gmm, box=box)
+
+    def _shmap(f, n_in, n_out):
+        return shard_map(f, mesh=mesh, in_specs=(spec,) * n_in,
+                         out_specs=(spec,) * n_out if n_out > 1 else spec,
+                         check_rep=False)
+
+    @jax.jit
+    def init(prev_block):
+        def per_device(p):
+            return jax.tree.map(lambda x: x[None], make_carry(p[0]))
+
+        return _shmap(per_device, 1, 1)(prev_block)
+
+    @jax.jit
+    def step(carry, scan):
+        def per_device(c, s):
+            c = jax.tree.map(lambda x: x[0], c)
+            s = jax.tree.map(lambda x: x[0], s)
+            c2, outs = step_fn(c, s)
+            return (jax.tree.map(lambda x: x[None], c2),
+                    jax.tree.map(lambda x: x[None], outs))
+
+        return _shmap(per_device, 2, 2)(carry, scan)
+
+    def put(x):
+        return jax.device_put(jnp.asarray(x), sharding)
+
+    prev_pts = put(first["pos1"])
+    prev_mask = put(first["mask1"] > 0.5)
+    carry = init(prev_pts)
+
+    outs_seq = []
+    latencies = []
+    block = (0, first)
+    while True:
+        t0 = time.perf_counter()
+        _, b = block
+        pts = put(b["pos1"])
+        mask = put(b["mask1"] > 0.5)
+        scan = dict(points=pts, mask=mask,
+                    time=put(b["time"][:, 0].astype(np.float32)),
+                    prev=prev_pts, prev_mask=prev_mask)
+        carry, outs = step(carry, scan)
+        # one batched readback (device_get issues every copy async, then
+        # blocks once) — per-leaf np.asarray costs a full tunnel round trip
+        # PER LEAF (measured 310 ms/step vs ~60 with the batched get)
+        outs_seq.append(jax.device_get(outs))
+        latencies.append((time.perf_counter() - t0) * 1e3)
+        prev_pts, prev_mask = pts, mask
+        try:
+            block = next(it)
+        except StopIteration:
+            break
+
+    stacked = {
+        k: np.stack([o[k] for o in outs_seq], axis=1)
+        for k in outs_seq[0]
+    }
+    lat = np.asarray(latencies[1:] or latencies)  # step 0 pays compile
+    stats = dict(n_scans=len(outs_seq), n_seqs=n_dev,
+                 latency_ms_mean=float(lat.mean()),
+                 latency_ms_p95=float(np.percentile(lat, 95)),
+                 hz_per_seq=float(1e3 / max(lat.mean(), 1e-9)))
+    return carry, stacked, stats

@@ -162,3 +162,71 @@ def test_pointsharded_knn_group_recall():
     _, t_perm = morton_sort(jax.numpy.asarray(pts), box=box)
     f_sorted = feats[np.asarray(t_perm)]
     np.testing.assert_allclose(g_s, f_sorted[i_s], atol=0)
+
+
+def test_sequences_sharded_streaming_matches_batch(tmp_path):
+    """Online striped-feed engine == batch shard_map engine: same scans,
+    same poses. The native SsfbStripe feeds one sequence per device; the
+    carry (SLAM state + cached tower) persists on-device across
+    host-dispatched steps."""
+    import dataclasses
+
+    from ssf_slam_tpu.config import FlowNetConfig, MappingConfig, \
+        PipelineConfig, Variant
+    from ssf_slam_tpu.data.ssfb import SsfbStripe, native_available, \
+        write_ssfb
+    from ssf_slam_tpu.data.synthetic import generate_sequence
+    from ssf_slam_tpu.models import TFlow
+    from ssf_slam_tpu.parallel.mesh import (
+        make_mesh,
+        run_sequences_sharded,
+        run_sequences_sharded_streaming,
+    )
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    n_pts = 512
+    cfg = PipelineConfig(
+        variant=Variant.SSF,
+        lidar=dataclasses.replace(PipelineConfig().lidar, max_points=n_pts),
+        mapping=MappingConfig(max_keyframes=16, submap_points=512,
+                              icp_iters=4, loop_submap_halfwidth=2),
+    )
+    net_cfg = FlowNetConfig(
+        npoint=n_pts, sa_npoints=(128, 32, 16, 8), sa_nsample=(8, 8, 8, 8),
+        cost_nsample=8, joint_seg=True,
+    )
+    model = TFlow(cfg=net_cfg)
+    pc = jax.numpy.zeros((1, n_pts, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pc, pc)
+
+    seqs, paths = [], []
+    for s in (0, 1):
+        frames = generate_sequence(n_frames=3, n_points=n_pts, seed=s,
+                                   n_moving=1)
+        p = str(tmp_path / f"s{s}.ssfb")
+        write_ssfb(frames, p)
+        seqs.append(frames)
+        paths.append(p)
+
+    mesh = make_mesh(2)
+    _, outs_batch = run_sequences_sharded(seqs, cfg, mesh, model=model,
+                                          variables=variables)
+
+    stripe = SsfbStripe(paths)
+    _, outs_stream, stats = run_sequences_sharded_streaming(
+        stripe.batches(), cfg, mesh, model, variables)
+    stripe.close()
+
+    assert stats["n_scans"] == 3 and stats["n_seqs"] == 2
+    assert stats["latency_ms_mean"] > 0
+    assert outs_stream["pose_t"].shape == (2, 3, 3)
+    # same scans through the same step: same trajectories up to fp
+    # reassociation (one big lax.scan jit vs per-step dispatch compiles
+    # different fusions; measured max delta ~2e-5 m)
+    np.testing.assert_allclose(outs_stream["pose_t"],
+                               np.asarray(outs_batch["pose_t"]),
+                               rtol=1e-3, atol=1e-3)

@@ -79,3 +79,51 @@ def test_truncated_file_rejected(seq_file, tmp_path):
     tiny.write_bytes(blob[:16])  # smaller than the header itself
     with pytest.raises(Exception):
         SsfbSequence(str(tiny))
+
+
+def test_stripe_reader_matches_per_sequence(tmp_path):
+    """Striped multi-stream gather == per-sequence reads, lockstep frames."""
+    from ssf_slam_tpu.data.ssfb import SsfbStripe
+
+    seqs, paths = [], []
+    for s in range(3):
+        frames = generate_sequence(n_frames=5, n_points=512, seed=10 + s)
+        p = str(tmp_path / f"s{s}.ssfb")
+        write_ssfb(frames, p)
+        seqs.append(frames)
+        paths.append(p)
+
+    stripe = SsfbStripe(paths, fields=("pos1", "mask1", "time"))
+    assert stripe.n_seqs == 3 and stripe.n_frames == 5
+    # batches are VIEWS of two rotating buffers (valid for one more step) —
+    # consume per iteration, as the streaming engine does
+    frames_seen = []
+    for f, batch in stripe.batches():
+        frames_seen.append(f)
+        assert batch["pos1"].shape == (3, 512, 3)
+        for s in range(3):
+            np.testing.assert_array_equal(
+                batch["pos1"][s], np.asarray(seqs[s][f]["pos1"],
+                                             np.float32))
+            np.testing.assert_array_equal(
+                batch["mask1"][s] > 0.5, seqs[s][f]["mask1"])
+            assert abs(batch["time"][s, 0] - seqs[s][f]["time"]) < 1e-6
+    assert frames_seen == [0, 1, 2, 3, 4]
+    # double-buffer contract: a yielded batch stays valid for ONE more step
+    it = stripe.batches()
+    _, b0 = next(it)
+    keep = b0["pos1"].copy()
+    next(it)  # fills the other buffer
+    np.testing.assert_array_equal(b0["pos1"], keep)
+    stripe.close()
+
+
+def test_stripe_rejects_mismatched_layout(tmp_path):
+    from ssf_slam_tpu.data.ssfb import SsfbStripe
+
+    a = str(tmp_path / "a.ssfb")
+    b = str(tmp_path / "b.ssfb")
+    write_ssfb(generate_sequence(n_frames=2, n_points=256, seed=0), a)
+    write_ssfb(generate_sequence(n_frames=2, n_points=512, seed=0), b)
+    with pytest.raises(IOError):
+        SsfbStripe([a, b])
