@@ -32,10 +32,13 @@ def _batches(n_points=256, n_batches=2, seed=0):
     return gen
 
 
-def test_train_best_state_survives_donation(tmp_path):
+def test_train_best_state_survives_donation_and_resume(tmp_path):
     """Regression: best_state used to alias donated buffers — any access
     after a later step raised 'Array has been deleted' whenever the best
-    epoch was not the last."""
+    epoch was not the last. The same run then seeds a resume (init_state)
+    leg — one test, one model, two train_scene_flow invocations total
+    (each invocation retraces the jitted step; a third is pure suite tax).
+    """
     from ssf_slam_tpu.train.trainer import train_scene_flow
 
     model = TFlow(cfg=TINY)
@@ -57,19 +60,11 @@ def test_train_best_state_survives_donation(tmp_path):
     cfg_json = json.load(open(os.path.join(run_dir, "config.json")))
     assert cfg_json["train"]["batch_size"] == 2
 
-
-def test_train_resume_from_state():
-    from ssf_slam_tpu.train.trainer import train_scene_flow
-
-    model = TFlow(cfg=TINY)
-    cfg = TrainConfig(batch_size=2, epochs=1)
-    best, _ = train_scene_flow(
-        model, _batches(), _batches(seed=1), cfg=cfg, n_points=256,
-        epochs=1, verbose=False,
-    )
+    # resume leg: continue from the returned best state
     step0 = int(best.step)
     best2, _ = train_scene_flow(
-        model, _batches(), _batches(seed=1), cfg=cfg, n_points=256,
+        model, _batches(), _batches(seed=1),
+        cfg=TrainConfig(batch_size=2, epochs=1), n_points=256,
         epochs=1, verbose=False, init_state=best,
     )
     assert int(best2.step) > step0
