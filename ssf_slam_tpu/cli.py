@@ -207,7 +207,7 @@ def _run_variant(frames: list, variant_name: str, args):
         print(f"[{variant_name}] loop closures fired: {n_loops}",
               file=sys.stderr)
     times = np.asarray([f["time"] for f in frames])
-    return times, outs["pose_t"], outs["pose_q"]
+    return times, outs["pose_t"], outs["pose_q"], state
 
 
 def cmd_run(args) -> int:
@@ -216,9 +216,14 @@ def cmd_run(args) -> int:
     if args.stream:
         return _cmd_run_stream(args)
     frames = _load_frames(args)
-    times, pos, quat = _run_variant(frames, args.variant, args)
+    times, pos, quat, state = _run_variant(frames, args.variant, args)
     write_tum(args.out, times, pos, quat)
     print(f"wrote {len(times)} poses to {args.out}")
+    if args.map_ply:
+        from ssf_slam_tpu.utils.viz import map_to_ply
+
+        n = map_to_ply(state.map_state, args.map_ply)
+        print(f"wrote {n} map points to {args.map_ply}")
 
     if args.synthetic:
         from ssf_slam_tpu.engine import rpe
@@ -291,7 +296,7 @@ def cmd_evaluate(args) -> int:
 
     results = {}
     for v in variants:
-        times, pos, quat = _run_variant(frames, v, args)
+        times, pos, quat, _ = _run_variant(frames, v, args)
         tum = os.path.join(args.out_dir, f"00_{v.upper()}.tum")
         write_tum(tum, times, pos, quat)
         tum_file_to_kitti(tum, tum.replace(".tum", ".kitti"))
@@ -416,6 +421,9 @@ def main(argv=None) -> int:
     sp = sub.add_parser("run", help="run a SLAM pipeline, write TUM trajectory")
     common(sp)
     sp.add_argument("--out", default="trajectory.tum")
+    sp.add_argument("--map-ply", default=None,
+                    help="export the aggregated keyframe map + trajectory "
+                         "as a colored PLY (vis_map.py counterpart)")
     sp.add_argument("--stream", action="store_true",
                     help="online mode: per-arriving-scan step + incremental "
                          "TUM + Hz/latency report (live 10 Hz parity)")

@@ -127,3 +127,75 @@ def project_labels_to_bev(
         img_flat = img.reshape(-1)
         img_flat[nonzero] = classes[best[nonzero]]
     return img.reshape(resolution, resolution)
+
+
+def write_ply(path: str, points: np.ndarray,
+              colors: np.ndarray | None = None) -> None:
+    """Binary little-endian PLY point cloud (viewable in any 3D tool).
+
+    The reference inspects maps through Open3D windows (vis_map.py,
+    utils/testo3d.py); headless TPU hosts export portable files instead.
+    ``points`` [N, 3] float; ``colors`` [N, 3] uint8 optional.
+    """
+    pts = np.ascontiguousarray(points, np.float32)
+    n = len(pts)
+    with open(path, "wb") as f:
+        hdr = ["ply", "format binary_little_endian 1.0",
+               f"element vertex {n}",
+               "property float x", "property float y", "property float z"]
+        if colors is not None:
+            hdr += ["property uchar red", "property uchar green",
+                    "property uchar blue"]
+        hdr.append("end_header")
+        f.write(("\n".join(hdr) + "\n").encode())
+        if colors is None:
+            f.write(pts.tobytes())
+        else:
+            cols = np.ascontiguousarray(colors, np.uint8)
+            rec = np.zeros(n, dtype=[("xyz", np.float32, 3),
+                                     ("rgb", np.uint8, 3)])
+            rec["xyz"] = pts
+            rec["rgb"] = cols
+            f.write(rec.tobytes())
+
+
+def map_to_ply(map_state, path: str, trajectory: bool = True,
+               stride: int = 1) -> int:
+    """Export the SLAM keyframe map (+ trajectory, red) as one PLY.
+
+    Aggregates every stored keyframe feature cloud into the map frame
+    using the OPTIMIZED keyframe poses (mapOptmization.cpp rebuilds the
+    aggregated map cloud the same way after loop corrections, :315-332),
+    coloring points by keyframe index (viridis-ish ramp). Returns the
+    number of exported points.
+    """
+    from ssf_slam_tpu.ops.se3 import quat_rotate
+
+    n_kf = int(map_state.n_kf)
+    pts_out, col_out = [], []
+    for k in range(0, n_kf, max(stride, 1)):
+        cloud = np.asarray(map_state.kf_cloud[k]).T  # [F, 3]
+        mask = np.asarray(map_state.kf_cloud_mask[k]) > 0.5
+        q = map_state.kf_q[k]
+        t = np.asarray(map_state.kf_t[k])
+        world = np.asarray(quat_rotate(q, cloud[mask])) + t
+        pts_out.append(world)
+        u = 0.2 + 0.8 * (k / max(n_kf - 1, 1))
+        col = np.array([int(60 + 150 * u), int(220 * (1 - u) + 35),
+                        int(90 + 120 * (1 - u))], np.uint8)
+        col_out.append(np.tile(col, (len(world), 1)))
+    if trajectory and n_kf > 0:
+        traj = np.asarray(map_state.kf_t[:n_kf])
+        # densify the polyline so it reads as a line in point viewers
+        segs = [np.linspace(traj[i], traj[i + 1], 8, endpoint=False)
+                for i in range(len(traj) - 1)] + [traj[-1:]]
+        tp = np.concatenate(segs)
+        pts_out.append(tp.astype(np.float32))
+        col_out.append(np.tile(np.array([255, 40, 40], np.uint8),
+                               (len(tp), 1)))
+    pts = (np.concatenate(pts_out) if pts_out
+           else np.zeros((0, 3), np.float32))
+    cols = (np.concatenate(col_out) if col_out
+            else np.zeros((0, 3), np.uint8))
+    write_ply(path, pts, cols)
+    return len(pts)

@@ -137,3 +137,53 @@ def test_project_labels_to_bev():
     labels = np.array([1, 0])
     img = project_labels_to_bev(pts, labels, extent=20, resolution=8)
     assert set(np.unique(img)) == {0, 1, 255}
+
+
+def test_write_ply_and_map_export(tmp_path):
+    """PLY export: parseable header, exact binary payload; map_to_ply
+    aggregates keyframe clouds with optimized poses + red trajectory."""
+    import numpy as np
+
+    from ssf_slam_tpu.utils.viz import map_to_ply, write_ply
+
+    pts = np.arange(12, dtype=np.float32).reshape(4, 3)
+    cols = np.full((4, 3), 7, np.uint8)
+    p = str(tmp_path / "a.ply")
+    write_ply(p, pts, cols)
+    data = open(p, "rb").read()
+    hdr, _, body = data.partition(b"end_header\n")
+    assert b"element vertex 4" in hdr
+    rec = np.frombuffer(body, dtype=[("xyz", np.float32, 3),
+                                     ("rgb", np.uint8, 3)])
+    np.testing.assert_array_equal(rec["xyz"], pts)
+    np.testing.assert_array_equal(rec["rgb"], cols)
+
+    # tiny map: two keyframes, one rotated 90 deg about z
+    import jax.numpy as jnp
+
+    from ssf_slam_tpu.mapping.keyframes import init_map_state
+
+    st = init_map_state(4, 8)
+    cloud = np.zeros((3, 8), np.float32)
+    cloud[0] = 1.0  # all points at x=1
+    # quats are [x, y, z, w] (ops/se3.py); 90 deg about z
+    q90 = np.array([0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)], np.float32)
+    st = st._replace(
+        n_kf=jnp.int32(2),
+        kf_cloud=st.kf_cloud.at[0].set(cloud).at[1].set(cloud),
+        kf_cloud_mask=st.kf_cloud_mask.at[:2].set(True),
+        kf_q=st.kf_q.at[0].set(jnp.array([0.0, 0, 0, 1.0])).at[1].set(
+            jnp.asarray(q90)),
+        kf_t=st.kf_t.at[1].set(jnp.array([5.0, 0, 0])),
+    )
+    m = str(tmp_path / "map.ply")
+    n = map_to_ply(st, m)
+    assert n >= 16
+    data = open(m, "rb").read()
+    body = data.partition(b"end_header\n")[2]
+    rec = np.frombuffer(body, dtype=[("xyz", np.float32, 3),
+                                     ("rgb", np.uint8, 3)])
+    # kf0 points at (1,0,0); kf1 points rotated to (0,1,0) + t=(5,0,0)
+    xyz = rec["xyz"]
+    assert (np.abs(xyz[:8] - [1, 0, 0]) < 1e-5).all()
+    assert (np.abs(xyz[8:16] - [5, 1, 0]) < 1e-5).all()
