@@ -99,6 +99,13 @@ class AttentiveCostVolume(nn.Module):
             [xyz2, points2.astype(xyz2.dtype)], -1
         )  # fused gathers: positions + features share the index sets
 
+        # NOTE: a DUAL fused kernel for the twin searches exists
+        # (ops/banded.py::banded_knn_group2, nn_knn_group2) — it streams the
+        # shared feature payload once, but MEASURED NEGATIVE end-to-end:
+        # 108.8±2.5 -> 105.0/105.0/102.1 scans/s. The extra per-tile VMEM
+        # residency (two query tiles, nine band blocks, six outputs) costs
+        # more pipeline overlap than the saved feats fetch buys. Kept with
+        # equivalence/VJP tests as an A/B-able building block.
         knn_idx, grouped, plan_a, params_a = nn_knn_group(
             query, xyz2, xyz2_and_feats, k,
             backend=self.backend, extent=self.extent, box=box)

@@ -334,6 +334,117 @@ def banded_knn_group(
     return d, idx, jnp.swapaxes(grouped, 0, 1)
 
 
+def _knn_group2_kernel_body(k, wblk, n_blocks, feat_dim, out_dtype):
+    wb = wblk * n_blocks
+
+    def kernel(b0_ref, nv_ref, qa_ref, qb_ref, *rest):
+        ta_refs = rest[:n_blocks]
+        tb_refs = rest[n_blocks:2 * n_blocks]
+        f_refs = rest[2 * n_blocks:3 * n_blocks]
+        da_ref, ia_ref, ga_ref, db_ref, ib_ref, gb_ref = rest[3 * n_blocks:]
+        i = pl.program_id(0)
+        base = b0_ref[i] * wblk
+        feats = jnp.concatenate([r[:] for r in f_refs], axis=0)  # [WB, C]
+        band_iota = None
+
+        def one(q_ref, t_refs, d_ref, i_ref, g_ref, band_iota):
+            t = jnp.concatenate([r[:] for r in t_refs], axis=0)
+            d = _pairwise_band_dist(q_ref[:].astype(jnp.float32),
+                                    t.astype(jnp.float32))
+            dk, ik = _topk_band(d, base, nv_ref[0], k, wb)
+            d_ref[:] = dk
+            i_ref[:] = ik
+            tq = dk.shape[0]
+            rel = ik - base
+            if band_iota is None:
+                band_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, wb), 1)
+            for j in range(k):
+                onehot = (band_iota == rel[:, j:j + 1]).astype(feats.dtype)
+                gj = jax.lax.dot_general(
+                    onehot, feats,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                g_ref[j] = gj.astype(out_dtype)
+            return band_iota
+
+        band_iota = one(qa_ref, ta_refs, da_ref, ia_ref, ga_ref, band_iota)
+        one(qb_ref, tb_refs, db_ref, ib_ref, gb_ref, band_iota)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "query_tile", "wblk", "n_blocks", "extent",
+                     "interpret"),
+)
+def banded_knn_group2(
+    query_a: Array,  # [N, 3]
+    query_b: Array,  # [N, 3] (near query_a — shares its band plan)
+    points_a: Array,  # [M, 3] Morton-sorted
+    points_b: Array,  # [M, 3] row-aligned with points_a (e.g. warped)
+    feats: Array,  # [M, C] shared values to group for BOTH queries
+    k: int,
+    query_tile: int = 256,
+    wblk: int = 256,
+    n_blocks: int = 3,
+    extent: float = 64.0,
+    interpret: bool = False,
+    plan: tuple[Array, Array] | None = None,
+) -> tuple:
+    """DUAL fused banded kNN+group: the cost volume's twin neighbor calls
+    (soflow.py:384-391 and :406 stream the SAME xyz2-features payload) in
+    one kernel — the feature band blocks are fetched from HBM once instead
+    of twice, and both top-k selections share the tile loop.
+
+    Both searches run inside ONE band plan (computed from ``query_a`` /
+    ``points_a`` unless given): correct whenever query_b stays within the
+    plan's block slack of query_a (they differ by the coarse flow, which is
+    small vs the band width — the same contract point_warping relies on).
+    Returns (d_a, i_a, grouped_a, d_b, i_b, grouped_b).
+    """
+    n = query_a.shape[0]
+    c = feats.shape[-1]
+    b0, nv = plan if plan is not None else plan_bands(
+        query_a, points_a, None, query_tile, wblk, n_blocks, extent)
+    n_tiles = n // query_tile
+    qspec = pl.BlockSpec((query_tile, 3), lambda i, b0, nv: (i, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((query_tile, k), lambda i, b0, nv: (i, 0),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((k, query_tile, c), lambda i, b0, nv: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    # out order: d_a, i_a, g_a, d_b, i_b, g_b
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            qspec, qspec,
+            *_band_specs(wblk, n_blocks, 3),
+            *_band_specs(wblk, n_blocks, 3),
+            *_band_specs(wblk, n_blocks, c),
+        ],
+        out_specs=[kspec, kspec, gspec, kspec, kspec, gspec],
+    )
+    da, ia, ga, db, ib, gb = pl.pallas_call(
+        _knn_group2_kernel_body(k, wblk, n_blocks, c, feats.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.int32),
+            jax.ShapeDtypeStruct((k, n, c), feats.dtype),
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.int32),
+            jax.ShapeDtypeStruct((k, n, c), feats.dtype),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(b0, nv, query_a, query_b, *([points_a] * n_blocks),
+      *([points_b] * n_blocks), *([feats] * n_blocks))
+    return (da, ia, jnp.swapaxes(ga, 0, 1),
+            db, ib, jnp.swapaxes(gb, 0, 1))
+
+
 def _knn_idw_kernel_body(k, wblk, n_blocks, feat_dim, out_dtype, eps):
     wb = wblk * n_blocks
 

@@ -218,6 +218,79 @@ def nn_knn_group(
 
 
 # ---------------------------------------------------------------------------
+# DUAL fused knn + grouping (cost-volume twin calls) — grads to feats only
+# ---------------------------------------------------------------------------
+
+
+def _bknn_group2_impl(qa, qb, pa, pb, feats, plan, k, params, extent):
+    qt, wblk, nb = params
+
+    def one(a, b, ta, tb, ft, b0, nv):
+        return banded.banded_knn_group2(
+            a, b, ta, tb, ft, k, query_tile=qt, wblk=wblk, n_blocks=nb,
+            extent=extent, plan=(b0, nv))
+
+    return _vmapn(one, qa.ndim - 2)(qa, qb, pa, pb, feats, plan[0], plan[1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _bknn_group2(qa, qb, pa, pb, feats, k, params, extent, plan):
+    return _bknn_group2_impl(qa, qb, pa, pb, feats, plan, k, params, extent)
+
+
+def _bknn_group2_fwd(qa, qb, pa, pb, feats, k, params, extent, plan):
+    out = _bknn_group2_impl(qa, qb, pa, pb, feats, plan, k, params, extent)
+    _, ia, _, _, ib, _ = out
+    return out, (ia, ib, qa, qb, pa, pb, feats)
+
+
+def _bknn_group2_bwd(k, params, extent, res, cts):
+    ia, ib, qa, qb, pa, pb, feats = res
+    g_a, g_b = cts[2], cts[5]
+    m = feats.shape[-2]
+
+    def one(i, g):
+        return jax.ops.segment_sum(
+            g.reshape(-1, g.shape[-1]), i.reshape(-1), num_segments=m)
+
+    gf = (_vmapn(one, ia.ndim - 2)(ia, g_a)
+          + _vmapn(one, ib.ndim - 2)(ib, g_b)).astype(feats.dtype)
+    zeros = jax.tree.map(jnp.zeros_like, (qa, qb, pa, pb))
+    return (*zeros, gf, None)
+
+
+_bknn_group2.defvjp(_bknn_group2_fwd, _bknn_group2_bwd)
+
+
+def nn_knn_group2(
+    query_a: Array, query_b: Array, points_a: Array, points_b: Array,
+    feats: Array, k: int,
+    backend: str = "xla", extent: float = 64.0, box=None,
+):
+    """The cost volume's twin fused kNN+group calls in one band stream.
+
+    Falls back to two independent ``nn_knn_group`` calls off the banded
+    path. Returns (idx_a, grouped_a, idx_b, grouped_b, plan, params) — the
+    SHARED plan serves downstream nn_regroup (on idx_a) and
+    nn_scatter_softmax_sum (on idx_b).
+    """
+    n, m = query_a.shape[-2], points_a.shape[-2]
+    params = band_params(n, m, k) if backend == "banded" else None
+    if params is None:
+        ia, ga, _, _ = nn_knn_group(query_a, points_a, feats, k,
+                                    backend=backend, extent=extent, box=box)
+        ib, gb, _, _ = nn_knn_group(query_b, points_b, feats, k,
+                                    backend=backend, extent=extent, box=box)
+        return ia, ga, ib, gb, None, None
+    plan = make_plan(query_a, points_a, params, extent, box)
+    _, ia, ga, _, ib, gb = _bknn_group2(
+        jax.lax.stop_gradient(query_a), jax.lax.stop_gradient(query_b),
+        jax.lax.stop_gradient(points_a), jax.lax.stop_gradient(points_b),
+        feats, k, params, extent, jax.lax.stop_gradient(plan))
+    return ia, ga, ib, gb, plan, params
+
+
+# ---------------------------------------------------------------------------
 # regroup (grouping by existing banded indices) — grads flow to feats
 # ---------------------------------------------------------------------------
 

@@ -344,3 +344,54 @@ def test_morton_sort_roundtrip():
     inv = nb.invert_permutation(perm)
     back = jnp.take_along_axis(srt, inv[..., None], axis=-2)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(pts))
+
+
+def test_dual_knn_group_matches_separate():
+    """banded_knn_group2 == two banded_knn_group calls when both use the
+    shared plan; under its OWN plan the second query's recall vs exact kNN
+    must stay high (the coarse-flow displacement fits the band slack)."""
+    rng = np.random.default_rng(41)
+    B, N, K, C = 1, 1024, 8, 6
+    q0 = np.stack([_lidar_cloud(rng, N)])  # xyz1
+    p_a = np.stack([_lidar_cloud(rng, N)])  # xyz2 (Morton-sorted below)
+    feats = rng.normal(size=(B, N, C)).astype(np.float32)
+
+    box = nb.cloud_box(jnp.asarray(q0), jnp.asarray(p_a))
+    # queries are Morton-sorted (TFlow's stem invariant); the warped query
+    # q_a = xyz1 + coarse flow is only NEAR-sorted, as in the real model
+    q_b, _ = nb.morton_sort(jnp.asarray(q0), box=box)
+    flow = jnp.asarray(
+        rng.normal(scale=0.4, size=(B, N, 3)).astype(np.float32))
+    q_a = q_b + flow
+    p_a_s, perm = nb.morton_sort(jnp.asarray(p_a), box=box)
+    p_b_s = p_a_s + 0.05  # row-aligned warped target
+    f_s = jnp.take_along_axis(jnp.asarray(feats), perm[..., None], axis=-2)
+
+    ia, ga, ib, gb, plan, params = nb.nn_knn_group2(
+        q_a, q_b, p_a_s, p_b_s, f_s, K, backend="banded", box=box)
+    assert params is not None
+
+    # leg A must be IDENTICAL to the single fused kernel under the same plan
+    ia1, ga1, _, _ = nb.nn_knn_group(
+        q_a, p_a_s, f_s, K, backend="banded", plan=plan, params=params)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ia1))
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga1))
+
+    # leg B under the shared plan: recall vs the exact kNN oracle
+    _, i_ex = knn(q_b, p_b_s, K)
+    i_b, i_e = np.asarray(ib)[0], np.asarray(i_ex)[0]
+    hits = sum(len(set(i_b[i]) & set(i_e[i])) for i in range(0, N, 3))
+    recall = hits / (len(range(0, N, 3)) * K)
+    assert recall > 0.85, recall
+    # grouped rows are exact copies at the returned indices
+    np.testing.assert_allclose(
+        np.asarray(gb)[0], np.asarray(f_s)[0][i_b], atol=0)
+
+    # feats gradient: sum of both legs' segment-sums
+    def loss(ft):
+        _, ga2, _, gb2, _, _ = nb.nn_knn_group2(
+            q_a, q_b, p_a_s, p_b_s, ft, K, backend="banded", box=box)
+        return jnp.sum(ga2 * ga2) + jnp.sum(jnp.abs(gb2))
+
+    g = jax.grad(loss)(f_s)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
