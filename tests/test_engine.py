@@ -82,7 +82,9 @@ def test_onlypc_tracks_trajectory():
     ate = ate_rmse(outs["pose_t"], rel_truth(seq))
     # A dead-straight corridor is the geometric worst case (the along-road
     # axis is near-unobservable from planes; see OdometryConfig prior
-    # notes). Round-3 forensics: the 0.109 m here is ~ALL one frame where
+    # notes). Round-3 forensics: the ~0.11-0.13 m here (0.109 on the
+    # original 12-frame sequence, 0.132 on this 8-frame one) is ~ALL one
+    # frame where
     # the BEV init aliased one building period along the road (per-frame
     # errors otherwise +-3 cm). A dual-anchor solve picking by final
     # residual (hypothesis_pick="score") fixes THIS scene to 0.022 m — but
