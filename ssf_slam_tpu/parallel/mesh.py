@@ -146,7 +146,7 @@ def run_sequences_sharded(frames_batch: list, cfg: PipelineConfig,
     With ``model``/``variables`` given, runs the fused network-in-the-loop
     SSF/SF step (engine/fused.py); otherwise the GT-flow/geometry variants.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ssf_slam_tpu.engine.pipeline import (
         init_slam_state,
@@ -207,7 +207,7 @@ def run_sequences_sharded(frames_batch: list, cfg: PipelineConfig,
 
         return shard_map(
             per_device, mesh=mesh, in_specs=(spec,), out_specs=spec,
-            check_rep=False,
+            check_vma=False,
         )(scans)
 
     states, outs = run(scans)
@@ -243,7 +243,7 @@ def run_sequences_sharded_streaming(
     """
     import time
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ssf_slam_tpu.engine.fused import make_fused_step, sequence_box
 
@@ -270,7 +270,7 @@ def run_sequences_sharded_streaming(
     def _shmap(f, n_in, n_out):
         return shard_map(f, mesh=mesh, in_specs=(spec,) * n_in,
                          out_specs=(spec,) * n_out if n_out > 1 else spec,
-                         check_rep=False)
+                         check_vma=False)
 
     @jax.jit
     def init(prev_block):

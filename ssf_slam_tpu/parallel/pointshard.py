@@ -74,7 +74,7 @@ def pointsharded_knn_group(
     t_sh = jax.device_put(t_sorted, sharding)
     f_sh = jax.device_put(f_sorted, sharding)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @jax.jit
     def run(q, t, f):
