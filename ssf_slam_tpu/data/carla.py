@@ -73,12 +73,18 @@ def hybrid_sample(
     """
     fg = np.flatnonzero(fg_mask > 0.5)
     bg = np.flatnonzero(fg_mask <= 0.5)
-    if len(fg) < num_fg:
-        sel_fg = fg
-        sel_bg = rng.choice(bg, n - len(fg), replace=False)
+    n_fg = min(num_fg, len(fg))
+    sel_fg = fg if n_fg == len(fg) else rng.choice(fg, n_fg, replace=False)
+    n_bg = n - n_fg
+    # replacement fallback when a class can't fill its share — the
+    # reference's loader resamples with replacement in the same situation
+    # (carla.py:274-285); mover-heavy frames can leave a tiny background
+    if n_bg == 0:
+        sel_bg = np.zeros(0, np.int64)
+    elif len(bg) == 0:  # all-mover frame: fall back to foreground
+        sel_bg = rng.choice(fg, n_bg, replace=True)
     else:
-        sel_fg = rng.choice(fg, num_fg, replace=False)
-        sel_bg = rng.choice(bg, n - num_fg, replace=False)
+        sel_bg = rng.choice(bg, n_bg, replace=len(bg) < n_bg)
     return np.sort(np.concatenate([sel_fg, sel_bg]))
 
 

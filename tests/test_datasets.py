@@ -161,6 +161,15 @@ def test_hybrid_sample_loader():
     idx2 = hybrid_sample(mask2, 100, 50, rng)
     assert mask2[idx2].sum() == 50
     assert np.all(np.diff(idx2) > 0)  # sorted for ring-order consumers
+    # regression (round-3 leg-3 crash): background smaller than its share
+    # must fall back to replacement (reference carla.py:274-285), not raise
+    mask3 = np.zeros(120); mask3[:100] = 1  # only 20 bg points
+    idx3 = hybrid_sample(mask3, 100, 30, rng)
+    assert len(idx3) == 100 and mask3[idx3].sum() == 30
+    # all-mover frame: bg share filled from fg with replacement
+    mask4 = np.ones(200)
+    idx4 = hybrid_sample(mask4, 100, 30, rng)
+    assert len(idx4) == 100
 
     with tempfile.TemporaryDirectory() as d:
         frames = generate_sequence(n_frames=2, n_points=4096, seed=3,
