@@ -256,18 +256,26 @@ void* ssfb_stripe_open(const char* const* paths, int n_seqs) {
     }
     st->seqs.push_back(static_cast<Sequence*>(h));
   }
-  // streams must agree on layout (one compiled step shape serves all)
+  // streams must agree on layout (one compiled step shape serves all).
+  // The FULL layout is compared — version, field_dims[], field_names[] —
+  // not just the counts: ssfb_stripe_next sizes its memcpy from each
+  // stream's own field_dims against caller buffers sized from stream 0's,
+  // so a dim mismatch that passed open would overflow the caller's NumPy
+  // buffers instead of failing cleanly here.
   const Header& h0 = st->seqs[0]->header;
   st->n_frames_min = h0.n_frames;
   for (auto* s : st->seqs) {
-    if (s->header.n_points != h0.n_points ||
-        s->header.n_fields != h0.n_fields) {
+    const Header& h = s->header;
+    if (h.version != h0.version || h.n_points != h0.n_points ||
+        h.n_fields != h0.n_fields ||
+        std::memcmp(h.field_dims, h0.field_dims, sizeof(h0.field_dims)) != 0 ||
+        std::memcmp(h.field_names, h0.field_names,
+                    sizeof(h0.field_names)) != 0) {
       for (auto* q : st->seqs) ssfb_close(q);
       delete st;
       return nullptr;
     }
-    if (s->header.n_frames < st->n_frames_min)
-      st->n_frames_min = s->header.n_frames;
+    if (h.n_frames < st->n_frames_min) st->n_frames_min = h.n_frames;
   }
   return st;
 }

@@ -151,6 +151,30 @@ class AttentiveCostVolume(nn.Module):
         # on this chain XLA's producer fusion + kernel overlap beats VMEM
         # residency even with the enclosing boundary pushed out.
         c = self.mlp[-1]
+        # The weightnet layers carry EXPLICIT names (fixed to what Flax
+        # auto-numbering historically produced, so committed checkpoints
+        # keep loading): the fused branch below fetches the same variables
+        # by these names via get_variable, and explicit names make that
+        # lookup immune to auto-number shifts from any module added earlier
+        # in __call__. Constructed once, outside the branch.
+        weightnet = nn.Sequential(
+            [
+                nn.Dense(c, use_bias=False, dtype=self.dtype,
+                         name="Dense_0"),
+                nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-3, dtype=self.dtype,
+                             name="BatchNorm_0"),
+                nn.relu,
+                nn.Dense(c // 2, use_bias=False, dtype=self.dtype,
+                         name="Dense_1"),
+                nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-3, dtype=self.dtype,
+                             name="BatchNorm_1"),
+                nn.relu,
+                nn.Dense(1, dtype=self.dtype, name="Dense_2"),
+            ],
+            name="weightnet",
+        )
         use_fused = (
             self.fuse_attention and self.backend == "banded" and not train
             and not self.is_initializing()
@@ -168,20 +192,6 @@ class AttentiveCostVolume(nn.Module):
                 q_feat, k_feat, q_cost, wn)
         else:
             q_att, k_att = attention_xla(q_feat, k_feat)
-            weightnet = nn.Sequential(
-                [
-                    nn.Dense(c, use_bias=False, dtype=self.dtype),
-                    nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-3, dtype=self.dtype),
-                    nn.relu,
-                    nn.Dense(c // 2, use_bias=False, dtype=self.dtype),
-                    nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-3, dtype=self.dtype),
-                    nn.relu,
-                    nn.Dense(1, dtype=self.dtype),
-                ],
-                name="weightnet",
-            )
             w_q = weightnet(q_att)  # [B, N1, K, 1]
             w_k_logits = weightnet(k_att)[..., 0]
 

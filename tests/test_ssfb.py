@@ -127,3 +127,54 @@ def test_stripe_rejects_mismatched_layout(tmp_path):
     write_ssfb(generate_sequence(n_frames=2, n_points=512, seed=0), b)
     with pytest.raises(IOError):
         SsfbStripe([a, b])
+
+
+def _mutate_header(path_in: str, path_out: str, *, dims_swap=None,
+                   rename=None, version=None):
+    """Byte-patch an ssfb header: <5I (magic, version, n_frames, n_points,
+    n_fields) + 8 uint32 field_dims + 8x8 char field_names. Payload is left
+    untouched, so a dims SWAP keeps the total floats/frame (and file size)
+    valid — the exact shape of file the pre-round-4 stripe_open accepted."""
+    import struct
+
+    raw = bytearray(open(path_in, "rb").read())
+    if version is not None:
+        raw[4:8] = struct.pack("<I", version)
+    if dims_swap is not None:
+        i, j = dims_swap
+        oi, oj = 20 + 4 * i, 20 + 4 * j
+        raw[oi:oi + 4], raw[oj:oj + 4] = raw[oj:oj + 4], raw[oi:oi + 4]
+    if rename is not None:
+        i, name = rename
+        o = 20 + 4 * 8 + 8 * i
+        raw[o:o + 8] = name.encode().ljust(8, b"\0")[:8]
+    open(path_out, "wb").write(bytes(raw))
+
+
+def test_stripe_rejects_mismatched_field_dims(tmp_path):
+    """Same n_points AND n_fields but different per-field dims must fail
+    stripe_open: stripe_next sizes its memcpys from each stream's OWN
+    field_dims against caller buffers sized from the shared layout, so a
+    dim mismatch that passed open would overflow the caller's NumPy
+    buffers (heap corruption) instead of failing cleanly (ADVICE r3)."""
+    from ssf_slam_tpu.data.ssfb import SsfbStripe
+
+    a = str(tmp_path / "a.ssfb")
+    b = str(tmp_path / "b.ssfb")
+    write_ssfb(generate_sequence(n_frames=2, n_points=256, seed=0), a)
+    # swap dims of pos1 (3) and s_fg_mask (1): counts and file size agree,
+    # per-field layout does not
+    _mutate_header(a, b, dims_swap=(0, 4))
+    with pytest.raises(IOError):
+        SsfbStripe([a, b])
+
+
+def test_stripe_rejects_mismatched_field_names(tmp_path):
+    from ssf_slam_tpu.data.ssfb import SsfbStripe
+
+    a = str(tmp_path / "a.ssfb")
+    b = str(tmp_path / "b.ssfb")
+    write_ssfb(generate_sequence(n_frames=2, n_points=256, seed=0), a)
+    _mutate_header(a, b, rename=(1, "pos2x"))
+    with pytest.raises(IOError):
+        SsfbStripe([a, b])
