@@ -222,6 +222,7 @@ def run_sequences_sharded_streaming(
     variables,
     use_gmm: bool = False,
     box_margin: float = 100.0,
+    pipeline_depth: int = 2,
 ):
     """ONLINE multi-sequence engine: one shard_map'd fused step per arriving
     frame-block, one sequence per device.
@@ -236,16 +237,28 @@ def run_sequences_sharded_streaming(
     steps while scans stream in — the reference's one-ROS-process-per-
     sequence deployment collapsed onto one host thread and S devices.
 
+    ``pipeline_depth`` in-flight steps are kept enqueued before the oldest
+    step's outputs are read back (same double-buffering as
+    engine/streaming.py): the devices compute block k+1 while the host pays
+    block k's readback round-trip, hiding the per-dispatch tunnel overhead
+    that made the round-3 synchronous loop 6x slower than the in-scan step
+    cost (docs/PERFORMANCE.md pathology #1). Depth 1 = strictly synchronous.
+
     The Morton box is anchored at the first block plus ``box_margin`` m of
-    travel headroom (same online-box contract as engine/streaming.py).
+    travel headroom (same online-box contract as engine/streaming.py); the
+    feed warns once if a block's points drift outside it (banded-kNN recall
+    degrades silently past the edge — size box_margin to the route).
     Returns (final sharded carry, outs stacked [S, T, ...], stats dict with
-    per-step latency).
+    per-step completion latency + sustained per-sequence rate).
     """
+    import collections
+    import sys
     import time
 
     from jax import shard_map
 
     from ssf_slam_tpu.engine.fused import make_fused_step, sequence_box
+    from ssf_slam_tpu.engine.streaming import box_overshoot
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     spec = P(mesh.axis_names[0])
@@ -279,16 +292,15 @@ def run_sequences_sharded_streaming(
 
         return _shmap(per_device, 1, 1)(prev_block)
 
-    @jax.jit
-    def step(carry, scan):
-        def per_device(c, s):
-            c = jax.tree.map(lambda x: x[0], c)
-            s = jax.tree.map(lambda x: x[0], s)
-            c2, outs = step_fn(c, s)
-            return (jax.tree.map(lambda x: x[None], c2),
-                    jax.tree.map(lambda x: x[None], outs))
+    def step_per_device(c, s):
+        c = jax.tree.map(lambda x: x[0], c)
+        s = jax.tree.map(lambda x: x[0], s)
+        c2, outs = step_fn(c, s)
+        return (jax.tree.map(lambda x: x[None], c2),
+                jax.tree.map(lambda x: x[None], outs))
 
-        return _shmap(per_device, 2, 2)(carry, scan)
+    # donate the carry (SLAM state + cached towers flip in place on-device)
+    step = jax.jit(_shmap(step_per_device, 2, 2), donate_argnums=(0,))
 
     def put(x):
         return jax.device_put(jnp.asarray(x), sharding)
@@ -297,36 +309,68 @@ def run_sequences_sharded_streaming(
     prev_mask = put(first["mask1"] > 0.5)
     carry = init(prev_pts)
 
+    depth = max(int(pipeline_depth), 1)
     outs_seq = []
-    latencies = []
+    latencies = []  # completion latency: block arrival -> outputs on host
+    dispatch_ts = []
+    pending = collections.deque()  # FIFO of (t_arrival, device outs)
+
+    def retire():
+        t_arr, outs = pending.popleft()
+        # one batched readback (device_get issues every copy async, then
+        # blocks once) — per-leaf np.asarray costs a full tunnel round trip
+        # PER LEAF (measured 310 ms/step vs ~60 with the batched get)
+        outs_seq.append(jax.device_get(outs))
+        latencies.append((time.perf_counter() - t_arr) * 1e3)
+
+    warned_box = False
     block = (0, first)
     while True:
         t0 = time.perf_counter()
+        dispatch_ts.append(t0)
         _, b = block
+        if box is not None and not warned_box:
+            over = box_overshoot(b["pos1"], b["mask1"] > 0.5, box)
+            if over > 0.0:
+                warned_box = True
+                print(f"WARNING: stream points drifted {over:.1f} m outside "
+                      f"the anchored Morton box (box_margin={box_margin:.0f} "
+                      "m); banded-kNN recall degrades beyond it — raise "
+                      "box_margin to the route's expected travel",
+                      file=sys.stderr)
         pts = put(b["pos1"])
         mask = put(b["mask1"] > 0.5)
         scan = dict(points=pts, mask=mask,
                     time=put(b["time"][:, 0].astype(np.float32)),
                     prev=prev_pts, prev_mask=prev_mask)
         carry, outs = step(carry, scan)
-        # one batched readback (device_get issues every copy async, then
-        # blocks once) — per-leaf np.asarray costs a full tunnel round trip
-        # PER LEAF (measured 310 ms/step vs ~60 with the batched get)
-        outs_seq.append(jax.device_get(outs))
-        latencies.append((time.perf_counter() - t0) * 1e3)
+        pending.append((t0, outs))
+        # pipelined readback: only block on the oldest in-flight step once
+        # `depth` are enqueued — devices run block k+1 while the host pays
+        # block k's readback round-trip
+        if len(pending) >= depth:
+            retire()
         prev_pts, prev_mask = pts, mask
         try:
             block = next(it)
         except StopIteration:
             break
+    while pending:
+        retire()
 
     stacked = {
         k: np.stack([o[k] for o in outs_seq], axis=1)
         for k in outs_seq[0]
     }
     lat = np.asarray(latencies[1:] or latencies)  # step 0 pays compile
+    # sustained rate from the dispatch cadence (steady state: skip the
+    # compile-billed first gap); completion latency reported separately
+    gaps = np.diff(np.asarray(dispatch_ts)) * 1e3
+    gaps = gaps[1:] if len(gaps) > 1 else gaps
+    step_ms = float(gaps.mean()) if len(gaps) else float(lat.mean())
     stats = dict(n_scans=len(outs_seq), n_seqs=n_dev,
                  latency_ms_mean=float(lat.mean()),
                  latency_ms_p95=float(np.percentile(lat, 95)),
-                 hz_per_seq=float(1e3 / max(lat.mean(), 1e-9)))
+                 step_ms_mean=step_ms,
+                 hz_per_seq=float(1e3 / max(step_ms, 1e-9)))
     return carry, stacked, stats

@@ -49,12 +49,24 @@ def pointsharded_knn_group(
     k: int,
     mesh: Mesh,
     halo: int = 512,
+    backend: str = "xla",
+    extent: float = 64.0,
 ) -> tuple[Array, Array, Array]:
     """kNN + feature grouping with the point axis sharded over ``mesh``.
 
     Returns (sqdist [N, k], idx [N, k] into the MORTON-SORTED target order,
     grouped [N, k, C]) — all in the caller's original query order.
     N and M must divide the mesh size.
+
+    ``backend="banded"`` runs the single-chip Morton-banded Pallas engine
+    (ops/banded.py) INSIDE each shard — each device's extended local target
+    is already Morton-sorted under the shared global box (interior halos
+    are Morton-contiguous; edge devices' wrapped halos are pushed past the
+    box by the validity mask, landing in the last band where their 1e6
+    coordinates lose every top-k). On a real TPU slice this makes the
+    per-device search the exact kernel the single-chip engine ships;
+    recall-tested against the same oracle in tests/test_parallel.py
+    (interpret mode on the virtual mesh).
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -97,8 +109,16 @@ def pointsharded_knn_group(
             valid = valid & ~((didx == n_dev - 1) &
                               (rows >= halo + shard_m))
             big = jnp.where(valid[:, None], t_ext, 1e6)
-            d, idx_loc = xla_knn(q_loc, big, k, approx=False)
-            grouped = group_points(f_ext, idx_loc)
+            if backend == "banded":
+                from ssf_slam_tpu.ops.neighbors import nn_knn_group
+
+                idx_loc, grouped, _, _ = nn_knn_group(
+                    q_loc, big, f_ext, k, backend="banded", extent=extent,
+                    box=box)
+                d = jnp.sum((q_loc[:, None, :] - big[idx_loc]) ** 2, -1)
+            else:
+                d, idx_loc = xla_knn(q_loc, big, k, approx=False)
+                grouped = group_points(f_ext, idx_loc)
             # local -> global sorted-target row index
             idx_glob = idx_loc - halo + didx * shard_m
             idx_glob = jnp.clip(idx_glob, 0, m - 1)

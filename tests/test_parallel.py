@@ -117,12 +117,21 @@ def test_sequences_sharded_fullsize_ssf():
                            np.asarray(outs["pose_t"][1]))
 
 
-def test_pointsharded_knn_group_recall():
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["xla", "banded"])
+def test_pointsharded_knn_group_recall(backend):
     """Point-axis sharding (SURVEY §2.5 stretch): Morton-contiguous shards +
     ppermute halo exchange. Recall vs the exact single-device oracle must be
     high on lidar-like clouds, and grouped features must match exactly on
-    agreeing indices."""
+    agreeing indices. backend="banded" swaps the per-device search for the
+    single-chip Pallas engine (interpret mode here) so a real-slice run is a
+    config change, not new code."""
+    import contextlib
+
     import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
 
     from ssf_slam_tpu.parallel.mesh import make_mesh
     from ssf_slam_tpu.parallel.pointshard import (
@@ -141,9 +150,12 @@ def test_pointsharded_knn_group_recall():
     feats = rng.normal(size=(m, c)).astype(np.float32)
 
     mesh = make_mesh(8)
-    d_s, i_s, g_s = pointsharded_knn_group(
-        jax.numpy.asarray(q), jax.numpy.asarray(pts),
-        jax.numpy.asarray(feats), k, mesh, halo=192)
+    ctx = (pltpu.force_tpu_interpret_mode() if backend == "banded"
+           else contextlib.nullcontext())
+    with ctx:
+        d_s, i_s, g_s = pointsharded_knn_group(
+            jax.numpy.asarray(q), jax.numpy.asarray(pts),
+            jax.numpy.asarray(feats), k, mesh, halo=192, backend=backend)
     d_r, i_r, g_r = pointshard_reference(
         jax.numpy.asarray(q), jax.numpy.asarray(pts),
         jax.numpy.asarray(feats), k)
