@@ -38,9 +38,13 @@ def _load_frames(args) -> list:
 
         seq = SsfbSequence(args.dataset)
         return [fr for _, fr in seq.prefetch_iter()]
-    from ssf_slam_tpu.data.carla import CarlaSceneFlowDataset
+    from ssf_slam_tpu.data.generic import make_dataset
 
-    ds = CarlaSceneFlowDataset(args.dataset, n_points=args.n_points)
+    # --dataset-kind selects the reader dialect (the reference's
+    # --dataset/--dataset_cls switch, main_sju_occ_ros.py:613-666);
+    # default is the CARLA npz layout.
+    ds = make_dataset(getattr(args, "dataset_kind", "carla") or "carla",
+                      args.dataset, n_points=args.n_points)
     return [ds[i] for i in range(len(ds))]
 
 
@@ -271,6 +275,11 @@ def _cmd_run_stream(args) -> int:
         seg_apply=seg_apply, tum_path=args.out)
     stats = runner.run(frames)
     print(f"streamed {stats['n_scans']} scans -> {args.out}")
+    if getattr(args, "map_ply", None):
+        from ssf_slam_tpu.utils.viz import map_to_ply
+
+        n = map_to_ply(runner.final_state.map_state, args.map_ply)
+        print(f"wrote {n} map points to {args.map_ply}")
     print(f"rate {stats['hz']:.1f} Hz  latency mean "
           f"{stats['latency_ms_mean']:.1f} ms  p95 "
           f"{stats['latency_ms_p95']:.1f} ms  loops {stats['n_loops']}")
@@ -389,6 +398,11 @@ def main(argv=None) -> int:
 
     def common(sp):
         sp.add_argument("--dataset", default=None)
+        sp.add_argument("--dataset-kind", default="carla",
+                        choices=["carla", "ft3d_hpl", "kitti_hpl",
+                                 "ft3d_fn3d", "kitti_fn3d"],
+                        help="reader dialect for --dataset (the reference's "
+                             "--dataset/--dataset_cls switch)")
         sp.add_argument("--synthetic", action="store_true")
         sp.add_argument("--frames", type=int, default=40)
         sp.add_argument("--n-points", type=int, default=8192)
