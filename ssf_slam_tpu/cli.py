@@ -206,9 +206,15 @@ def _run_variant(frames: list, variant_name: str, args):
                 use_gmm=variant == Variant.SF, seg_apply=seg_apply)
     else:
         state, outs = run_sequence(frames, cfg)
-    n_loops = int(state.map_state.n_loops)
+    n_loops = int(state.map_state.n_loops_total)
     if n_loops:
         print(f"[{variant_name}] loop closures fired: {n_loops}",
+              file=sys.stderr)
+    cap = int(state.map_state.loop_w.shape[0])
+    if n_loops > cap:
+        print(f"[{variant_name}] loop buffer saturated: {n_loops} closures "
+              f"accepted into {cap} slots (weakest factors evicted; raise "
+              "mapping.MAX_LOOPS for very loopy deployments)",
               file=sys.stderr)
     times = np.asarray([f["time"] for f in frames])
     return times, outs["pose_t"], outs["pose_q"], state

@@ -89,13 +89,25 @@ class OdometryConfig:
     # CANNOT be made safe in dynamic scenes: a warm-anchored solve that
     # latches onto a coherent mover bloc produces a self-consistent,
     # genuinely LOWER-residual wrong pose (measured 0.04 -> 0.52 m ATE on a
-    # mover scene even requiring a 2x score margin + inlier-count guard),
-    # while the corridor-aliasing case score mode exists for wins by LESS
-    # than 2x. BEV's errors are per-frame independent (re-measured against
-    # the local map each frame), which bounds mover drag; warm errors
-    # compound. See tests/test_engine.py::test_onlypc_tracks_trajectory for
-    # the residual failure catalog.
+    # mover scene even requiring a 2x score margin + inlier-count guard;
+    # re-measured round 4 as 0.088 -> 1.31 m on a 6-slow-mover street for a
+    # dynamics-gated variant of the same idea), while the corridor-aliasing
+    # failure BEV suffers is handled INSIDE the correlation by the
+    # dynamics-windowed peak pick below. BEV's errors are per-frame
+    # independent (re-measured against the local map each frame), which
+    # bounds mover drag; warm errors compound. See
+    # tests/test_engine.py::test_onlypc_tracks_trajectory.
     hypothesis_pick: str = "bev"
+    # BEV plausibility window (odometry/bev_init.py): when the global
+    # correlation argmax deviates from the constant-velocity prediction by
+    # more than bev_plaus_gate in ONE frame (0.4 m at 10 Hz = 40 m/s^2,
+    # beyond any road vehicle — i.e. a building-period alias) while a peak
+    # within the window scores >= bev_plaus_rel of it, the windowed peak
+    # wins. Correlation-level, so mover-latched warm SOLVES never enter:
+    # measured corridor 0.132 -> 0.031 m ATE with the mover-street scenes
+    # unchanged. 0 disables.
+    bev_plaus_gate: float = 0.4
+    bev_plaus_rel: float = 0.5
     # "score"-mode gates: solutions must be >hyp_separation_min apart (a
     # real aliasing event, not jitter) AND the warm residual below
     # hyp_score_factor x BEV's for the warm anchor to win.
@@ -172,6 +184,17 @@ class EgoMotionConfig:
     refine_max_trans: float = 0.3
     refine_max_rot: float = 0.05
     refine_min_inliers: int = 256
+    # Residual-trim of the static mask before it anchors geometry (the
+    # refine source AND the keyframe seg-gate): points whose flow residual
+    # against the fitted rigid motion exceeds this (m) are treated as
+    # movers even when the mask said static. This is what makes
+    # ``sf --geom-refine`` safe — the GMM background cluster leaks slow
+    # movers (measured round 3: sf 0.042 -> 0.114 m when the raw GMM mask
+    # anchored the refinement); residual trimming removes exactly the
+    # points whose motion disagrees with the rigid fit. Static flow error
+    # is ~EPE (few cm); movers displace >= their per-frame motion (>=0.3 m
+    # at 3 m/s, 10 Hz), so the gate separates cleanly.
+    refine_trim_resid: float = 0.15
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,24 +236,38 @@ class MappingConfig:
     odom_trans_var: float = 1e-4
     # Scan-to-submap refinement (no reference equivalent — mapOptmization
     # only gates keyframes and closes loops; between loop events the map
-    # pose is raw integrated odometry, :450). When enabled AND the caller
-    # supplies per-point normals (the ONLY_PC front-end has them), each new
-    # keyframe cloud is point-to-plane registered against the recent
-    # keyframe submap and the accepted correction folds into the loop-
-    # adjust transform, so drift accumulates per keyframe hop instead of
-    # per frame. Flow variants pass no normals and skip this entirely.
-    # DEFAULT OFF: on STATIC worlds it helps slightly (corridor 0.1095 ->
-    # 0.1088 m, curved 0.0123 -> 0.0113 m ATE), but keyframe clouds retain
-    # mover points, and on a 4-mover street the submap registration latches
-    # the mover bloc (measured 0.04 -> 0.52 m ATE). Enable for mover-free
-    # mapping runs only.
-    scan_to_map_refine: bool = False
+    # pose is raw integrated odometry, :450). Each new keyframe cloud is
+    # point-to-plane registered against the recent keyframe submap and the
+    # accepted correction folds into the loop-adjust transform, so drift
+    # accumulates per keyframe hop instead of per frame. ALL variants
+    # participate: the pipeline fits ring-diverse planes on the incoming
+    # scan whenever this is on (engine/pipeline.py).
+    # DEFAULT ON since round 4 — the round-3 failure mode (keyframe clouds
+    # retained mover points and the submap registration latched the mover
+    # bloc, 0.04 -> 0.52 m ATE) is closed by seg_gate_keyframes below plus
+    # the compacted submap subsample (mapping/keyframes.py::_build_submap).
+    # Measured with both in place (chip, 8192 pts): SSF noisy-flow street
+    # 0.0290 -> 0.0275; onlypc corridor 0.0230 -> 0.0212, curved 0.0084 ->
+    # 0.0066, 6-slow-mover street 0.0774 -> 0.0691, 4-mover street neutral
+    # (0.3925 -> 0.3924 — onlypc has no seg-gate; refine no longer hurts).
+    scan_to_map_refine: bool = True
     refine_halfwidth: int = 6  # previous keyframes in the target submap
     refine_min_keyframes: int = 2
     refine_max_corr_dist: float = 1.0  # association gate (m)
     refine_max_trans: float = 0.5  # reject corrections larger than this (m)
     refine_max_rot: float = 0.05  # ... or this (rad)
     refine_min_inliers: int = 64
+    # Seg-gate the keyframe map: drop feature points near the warped
+    # dynamic points (flow pair's movers advected into the current frame)
+    # from the stored keyframe cloud. The reference aggregates RAW clouds
+    # (src/mapOptmization.cpp:201-223), so its submaps retain movers — the
+    # measured reason scan_to_map_refine used to be off by default (mover
+    # blocs latch the submap registration, 0.04 -> 0.52 m). With the gate,
+    # every flow variant's per-frame static mask finally reaches the
+    # mapping boundary instead of being thrown away at the ego-motion SVD.
+    # No-op for ONLY_PC (no segmentation exists there).
+    seg_gate_keyframes: bool = True
+    seg_gate_radius: float = 1.0  # m — mover clearance around warped points
 
 
 @dataclasses.dataclass(frozen=True)

