@@ -21,7 +21,6 @@ Appends nothing; prints a markdown table for docs/PERFORMANCE.md.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 
 import jax

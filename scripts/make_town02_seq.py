@@ -53,31 +53,128 @@ def sensor_track(n: int) -> list[tuple[np.ndarray, float]]:
     return poses
 
 
-def make_frames(n_frames: int, radius: float = 60.0,
-                min_pts: int = 512) -> tuple[list[dict], list]:
+def vehicle_tracks(n_frames: int, n_vehicles: int, seed: int = 0,
+                   dt: float = 0.1):
+    """Tracked vehicles driving along/near the sensor route, matching
+    Generate_Sceneflow.py:498-523 semantics: each vehicle is a yawed bbox
+    whose per-pair motion is a center displacement + yaw delta; its body is
+    a surface-sampled point shell that moves rigidly with the box.
+
+    Returns a list of per-vehicle dicts:
+      {centers [n+1,3], yaws [n+1], size [3], body [P,3] (box-local)}.
+    """
+    rng = np.random.default_rng(seed)
+    route = sensor_track(n_frames)
+    vehicles = []
+    for v in range(n_vehicles):
+        # anchor near a random point of the sensor route, offset laterally
+        # (a lane over), driving roughly along the local route direction
+        k0 = int(rng.integers(0, n_frames))
+        pos0, yaw0 = route[k0]
+        lateral = float(rng.uniform(-6.0, 6.0))
+        ahead = float(rng.uniform(5.0, 35.0))
+        fwd = _yaw(yaw0)[:, 0]
+        left = _yaw(yaw0)[:, 1]
+        heading = yaw0 + float(rng.choice([0.0, np.pi])) + float(
+            rng.normal(0, 0.1))
+        speed = float(rng.uniform(2.0, 9.0))
+        yaw_rate = float(rng.normal(0, 0.05))
+        size = np.array([4.2, 1.9, 1.6]) * rng.uniform(0.9, 1.15)
+        c0 = pos0 + fwd * ahead + left * lateral
+        c0[2] = -2.5 + size[2] / 2  # body sits on the road (map z = -2.5)
+        centers, yaws = [], []
+        c, h = c0.copy(), heading
+        for k in range(n_frames + 1):
+            centers.append(c.copy())
+            yaws.append(h)
+            c = c + _yaw(h)[:, 0] * speed * dt
+            h += yaw_rate * dt
+        # box-local surface shell (roof + 4 sides), LiDAR-like coverage
+        n_body = 220
+        u = rng.uniform(-0.5, 0.5, (n_body, 2))
+        face = rng.integers(0, 5, n_body)
+        body = np.zeros((n_body, 3), np.float32)
+        sx, sy, sz = size
+        body[face == 0] = np.stack(  # roof
+            [u[face == 0, 0] * sx, u[face == 0, 1] * sy,
+             np.full((face == 0).sum(), sz / 2)], 1)
+        for f, (ax, sgn) in enumerate(((0, 1), (0, -1), (1, 1), (1, -1)),
+                                      start=1):
+            sel = face == f
+            w = np.zeros((sel.sum(), 3), np.float32)
+            w[:, ax] = sgn * (size[ax] / 2)
+            w[:, 1 - ax] = u[sel, 0] * size[1 - ax]
+            w[:, 2] = (u[sel, 1]) * sz
+            body[sel] = w
+        vehicles.append(dict(centers=np.asarray(centers),
+                             yaws=np.asarray(yaws), size=size,
+                             body=body))
+    return vehicles
+
+
+def make_frames(n_frames: int, radius: float = 60.0, min_pts: int = 512,
+                n_vehicles: int = 0, seed: int = 0):
+    """Frame pairs off the real Town02 map, optionally with tracked movers.
+
+    With ``n_vehicles`` > 0, each frame's clouds include the vehicles'
+    surface shells at their per-frame poses, the flow inside each bbox
+    carries the object's own motion + rotation delta
+    (data/sceneflow_gen.py::compute_pairwise_scene_flow, matching
+    Generate_Sceneflow.py:498-523), and ``s_fg_mask`` labels mover points.
+    """
+    from ssf_slam_tpu.data.sceneflow_gen import (
+        ObjectTrack,
+        compute_pairwise_scene_flow,
+    )
+
     m = np.fromfile(MAP_BIN, np.float32).reshape(-1, 4)[:, :3]
     poses = sensor_track(n_frames)
+    vehicles = vehicle_tracks(n_frames, n_vehicles, seed=seed)
     frames = []
     for k in range(n_frames):
         (p1, y1), (p2, y2) = poses[k], poses[k + 1]
         r1, r2 = _yaw(y1), _yaw(y2)
+
+        def world_cloud(frame_idx):
+            clouds = [m]
+            for veh in vehicles:
+                c = veh["centers"][frame_idx]
+                yw = veh["yaws"][frame_idx]
+                clouds.append(veh["body"] @ _yaw(yw).T + c)
+            return np.concatenate(clouds, 0)
 
         def view(pw, p, r):
             d = np.linalg.norm(pw[:, :2] - p[None, :2], axis=1)
             sel = pw[d < radius]
             return ((sel - p) @ r).astype(np.float32)  # world -> sensor
 
-        pts1 = view(m, p1, r1)
-        pts2 = view(m, p2, r2)
+        pts1 = view(world_cloud(k), p1, r1)
+        pts2 = view(world_cloud(k + 1), p2, r2)
         assert len(pts1) > min_pts and len(pts2) > min_pts, (
             f"frame {k}: track left the mapped area ({len(pts1)} pts)")
-        from ssf_slam_tpu.data.sceneflow_gen import ego_flow
-
-        # ego_flow's (r, t) convention: p_world = p_sensor @ r.T + t
-        flow = ego_flow(pts1, r1.T, p1, r2.T, p2)
-        frames.append(dict(points1=pts1, points2=pts2,
-                           flow=flow.astype(np.float32),
-                           valid_mask1=np.ones(len(pts1), bool)))
+        tracks = [
+            ObjectTrack(
+                center1=veh["centers"][k], size=veh["size"] + 0.2,
+                yaw1=float(veh["yaws"][k]),
+                center2=veh["centers"][k + 1],
+                yaw2=float(veh["yaws"][k + 1]),
+            )
+            for veh in vehicles
+        ]
+        # (r, t) convention: p_world = p_sensor @ r.T + t. view() maps
+        # w -> (w - p) @ r, whose inverse is w = s @ r.T + p, so the
+        # world-from-sensor rotation argument is r itself. (Round 4 passed
+        # r.T here AND in the oracle test — a shared transposition that the
+        # rigid yaw-only path masked; bbox movers exposed it because
+        # points_in_box then reconstructed world points wrongly and no
+        # point ever fell inside a box.)
+        gt, _, fg = compute_pairwise_scene_flow(
+            pts1, r1, p1, r2, p2, objects=tracks)
+        fr = dict(points1=pts1, points2=pts2, flow=gt.astype(np.float32),
+                  valid_mask1=np.ones(len(pts1), bool))
+        if n_vehicles:
+            fr["s_fg_mask"] = fg.astype(np.float32)
+        frames.append(fr)
     return frames, poses
 
 
@@ -85,9 +182,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--vehicles", type=int, default=0,
+                    help="tracked movers on the map (bbox motion + rotation "
+                         "delta in the flow, Generate_Sceneflow.py:498-523 "
+                         "semantics; writes s_fg_mask)")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    frames, poses = make_frames(args.frames)
+    frames, poses = make_frames(args.frames, n_vehicles=args.vehicles,
+                                seed=args.seed)
     os.makedirs(args.out, exist_ok=True)
     for k, fr in enumerate(frames):
         np.savez(os.path.join(args.out, f"{k:06d}.npz"), **fr)

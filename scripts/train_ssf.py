@@ -22,7 +22,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
@@ -76,18 +75,13 @@ def build_corpus(n_worlds: int, frames_per_world: int, rng_base: int = 0,
     return train, eval_frames
 
 
-def batcher(frames: list, batch_size: int, seed_holder: list):
-    keys = ("pos1", "pos2", "gt", "s_fg_mask", "mask1")
-
-    def gen():
-        rng = np.random.default_rng(seed_holder[0])
-        seed_holder[0] += 1
-        order = rng.permutation(len(frames))
-        for s in range(0, len(order) - batch_size + 1, batch_size):
-            items = [frames[int(i)] for i in order[s:s + batch_size]]
-            yield {k: np.stack([it[k] for it in items]) for k in keys}
-
-    return gen
+from ssf_slam_tpu.train.harness import (  # noqa: E402
+    BestTracker,
+    batcher,
+    load_resume,
+    parse_best_criterion,
+    save_resume,
+)
 
 
 def main() -> int:
@@ -117,11 +111,10 @@ def main() -> int:
                    help="scale on the joint-seg BCE term")
     args = p.parse_args()
 
-    gate_iou = 0.0
-    if args.best_criterion.startswith("gated:"):
-        gate_iou = float(args.best_criterion.split(":", 1)[1])
-    elif args.best_criterion != "epe":
-        p.error(f"unknown --best-criterion {args.best_criterion!r}")
+    try:
+        gate_iou = parse_best_criterion(args.best_criterion)
+    except ValueError as exc:
+        p.error(str(exc))
 
     from ssf_slam_tpu.config import FlowNetConfig, LossConfig, TrainConfig
     from ssf_slam_tpu.data.carla import compute_label_weights
@@ -165,26 +158,12 @@ def main() -> int:
     eval_fn = make_eval_step(model)
 
     os.makedirs(args.out, exist_ok=True)
-    meta_path = os.path.join(args.out, "progress.json")
     start_epoch, best_epe = 0, float("inf")
-    if args.resume and os.path.exists(meta_path):
-        import orbax.checkpoint as ocp
-
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        start_epoch, best_epe = meta["epoch"] + 1, meta["best_epe"]
-        ckptr = ocp.StandardCheckpointer()
-        target = dict(params=state.params, batch_stats=state.batch_stats,
-                      opt_state=state.opt_state,
-                      step=np.zeros((), np.int32))
-        restored = ckptr.restore(
-            os.path.abspath(os.path.join(args.out, "last")), target)
-        state = state._replace(
-            params=restored["params"], batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
-            step=jnp.asarray(restored["step"]))
-        print(f"resumed at epoch {start_epoch} (best EPE {best_epe:.4f})",
-              flush=True)
+    if args.resume:
+        state, start_epoch, best_epe = load_resume(args.out, state)
+        if start_epoch:
+            print(f"resumed at epoch {start_epoch} "
+                  f"(best EPE {best_epe:.4f})", flush=True)
 
     logger = RunLogger(args.out)
     logger.snapshot_config(dict(train=tcfg, loss=loss_cfg, model=net_cfg,
@@ -193,19 +172,7 @@ def main() -> int:
     train_gen = batcher(train_frames, args.batch_size, seed_holder)
     eval_gen = batcher(eval_frames, args.batch_size, [999])
 
-    def save_last(epoch):
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            os.path.abspath(os.path.join(args.out, "last")),
-            dict(params=state.params, batch_stats=state.batch_stats,
-                 opt_state=state.opt_state, step=np.asarray(state.step)),
-            force=True)
-        ckptr.wait_until_finished()
-        with open(meta_path, "w") as fh:
-            json.dump(dict(epoch=epoch, best_epe=best_epe), fh)
-
+    tracker = BestTracker(gate_iou, best_epe)
     for epoch in range(start_epoch, args.epochs):
         losses = []
         t0 = time.time()
@@ -228,17 +195,15 @@ def main() -> int:
         logger.metrics(int(state.step), epoch=epoch, epoch_loss=epoch_loss,
                        **agg)
 
-        qualifies = agg.get("iou_moving", 0.0) >= gate_iou
-        if qualifies and agg["epe3d"] < best_epe:
-            best_epe = agg["epe3d"]
+        if tracker.update(agg, epoch):
             save_checkpoint(os.path.abspath(args.out), state)
-        save_last(epoch)
+        save_resume(args.out, state, epoch, tracker.best_epe)
 
         if args.max_seconds and time.time() - t_start > args.max_seconds:
             logger.cprint(f"max-seconds reached at epoch {epoch}; stopping")
             break
 
-    if gate_iou and not np.isfinite(best_epe):
+    if tracker.never_qualified:
         logger.cprint(f"WARNING: no epoch met the moving-IoU gate "
                       f"{gate_iou}; no best checkpoint written")
     logger.close()

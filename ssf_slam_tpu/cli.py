@@ -216,6 +216,13 @@ def _run_variant(frames: list, variant_name: str, args):
               f"accepted into {cap} slots (weakest factors evicted; raise "
               "mapping.MAX_LOOPS for very loopy deployments)",
               file=sys.stderr)
+    dyn_over = np.asarray(outs.get("n_dyn_over", np.zeros(1, np.int32)))
+    if int(dyn_over.max(initial=0)) > 0:
+        print(f"[{variant_name}] keyframe seg-gate mover budget exceeded on "
+              f"{int((dyn_over > 0).sum())} scans (worst overflow "
+              f"{int(dyn_over.max())} points past the 1024-point budget; "
+              "gate coverage was reduced on those scans)",
+              file=sys.stderr)
     times = np.asarray([f["time"] for f in frames])
     return times, outs["pose_t"], outs["pose_q"], state
 
@@ -278,7 +285,8 @@ def _cmd_run_stream(args) -> int:
 
     runner = StreamingRunner(
         model, variables, cfg, use_gmm=args.variant == "sf",
-        seg_apply=seg_apply, tum_path=args.out)
+        seg_apply=seg_apply, tum_path=args.out,
+        pipeline_depth=args.pipeline_depth)
     stats = runner.run(frames)
     print(f"streamed {stats['n_scans']} scans -> {args.out}")
     if getattr(args, "map_ply", None):
@@ -286,9 +294,11 @@ def _cmd_run_stream(args) -> int:
 
         n = map_to_ply(runner.final_state.map_state, args.map_ply)
         print(f"wrote {n} map points to {args.map_ply}")
-    print(f"rate {stats['hz']:.1f} Hz  latency mean "
+    print(f"rate {stats['hz']:.1f} Hz  completion latency mean "
           f"{stats['latency_ms_mean']:.1f} ms  p95 "
-          f"{stats['latency_ms_p95']:.1f} ms  loops {stats['n_loops']}")
+          f"{stats['latency_ms_p95']:.1f} ms  dispatch mean "
+          f"{stats['dispatch_ms_mean']:.1f} ms  depth "
+          f"{stats['pipeline_depth']}  loops {stats['n_loops']}")
     target = 10.0
     print(f"10 Hz live target: {'MET' if stats['hz'] >= target else 'MISSED'}")
     return 0
@@ -447,6 +457,12 @@ def main(argv=None) -> int:
     sp.add_argument("--stream", action="store_true",
                     help="online mode: per-arriving-scan step + incremental "
                          "TUM + Hz/latency report (live 10 Hz parity)")
+    sp.add_argument("--pipeline-depth", type=int, default=2,
+                    help="in-flight steps in --stream mode (default 2: "
+                         "device computes scan k+1 while the host reads "
+                         "back scan k — best throughput; 1 = strictly "
+                         "synchronous live-latency semantics, completion "
+                         "latency excludes any queue wait)")
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("train", help="train the scene-flow net")

@@ -239,17 +239,22 @@ class MappingConfig:
     # pose is raw integrated odometry, :450). Each new keyframe cloud is
     # point-to-plane registered against the recent keyframe submap and the
     # accepted correction folds into the loop-adjust transform, so drift
-    # accumulates per keyframe hop instead of per frame. ALL variants
-    # participate: the pipeline fits ring-diverse planes on the incoming
-    # scan whenever this is on (engine/pipeline.py).
+    # accumulates per keyframe hop instead of per frame.
     # DEFAULT ON since round 4 — the round-3 failure mode (keyframe clouds
     # retained mover points and the submap registration latched the mover
     # bloc, 0.04 -> 0.52 m ATE) is closed by seg_gate_keyframes below plus
     # the compacted submap subsample (mapping/keyframes.py::_build_submap).
-    # Measured with both in place (chip, 8192 pts): SSF noisy-flow street
-    # 0.0290 -> 0.0275; onlypc corridor 0.0230 -> 0.0212, curved 0.0084 ->
-    # 0.0066, 6-slow-mover street 0.0774 -> 0.0691, 4-mover street neutral
-    # (0.3925 -> 0.3924 — onlypc has no seg-gate; refine no longer hurts).
+    # Round-5 redesign (the round-4 implementation cost 112.9 -> 41.2
+    # scans/s on the headline bench because it fit ring-diverse planes on
+    # EVERY scan and TLS planes on a 16384-pt submap at every keyframe):
+    # each keyframe now stores a STRIDED substore of normals
+    # (refine_stride), the submap target reuses those stored normals
+    # (rotated into the map frame — no per-event plane fitting on the
+    # submap), the incoming scan's normals are fit only inside the
+    # keyframe-event branch on the strided rows, and the registration is a
+    # single association + short GN (mapping/keyframes.py::
+    # _register_to_submap). Flow variants no longer fit any planes outside
+    # keyframe events.
     scan_to_map_refine: bool = True
     refine_halfwidth: int = 6  # previous keyframes in the target submap
     refine_min_keyframes: int = 2
@@ -257,6 +262,19 @@ class MappingConfig:
     refine_max_trans: float = 0.5  # reject corrections larger than this (m)
     refine_max_rot: float = 0.05  # ... or this (rad)
     refine_min_inliers: int = 64
+    # strided refine substore: every refine_stride-th feature row carries a
+    # stored TLS normal (MapState.kf_rnorm); source and target of the
+    # refine registration both live at this resolution
+    refine_stride: int = 4
+    refine_submap_points: int = 2048  # padded refine-target budget
+    refine_gn_iters: int = 4  # single association, short GN
+    refine_huber: float = 0.1
+    # prior anchored at the incoming (odometry) pose: only submap-observed
+    # directions move (rot sigma ~0.07 rad, trans sigma ~0.14 m)
+    refine_prior_rot: float = 200.0
+    refine_prior_trans: float = 50.0
+    refine_max_rot_step: float = 0.05
+    refine_max_trans_step: float = 0.2
     # Seg-gate the keyframe map: drop feature points near the warped
     # dynamic points (flow pair's movers advected into the current frame)
     # from the stored keyframe cloud. The reference aggregates RAW clouds

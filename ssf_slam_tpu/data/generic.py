@@ -108,6 +108,12 @@ class Flownet3dDataset(SceneFlowDataset):
                 )
                 if "valid_mask1" in keys:
                     out["mask1"] = z["valid_mask1"]
+                if "s_fg_mask" in keys:
+                    # optional GT moving-object labels riding along with the
+                    # FN3D keys (the reference's own CARLA npz carries the
+                    # same mask next to its flow; scripts/make_town02_seq.py
+                    # writes it for mover sequences)
+                    out["s_fg_mask"] = z["s_fg_mask"].astype(np.float32)
                 return out
             out = dict(
                 pos1=z["pos1"].astype(np.float32),

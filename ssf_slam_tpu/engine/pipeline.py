@@ -46,7 +46,7 @@ from ssf_slam_tpu.odometry.scan2scan import (
     fit_ring_diverse_planes,
     scan_to_scan,
 )
-from ssf_slam_tpu.ops.se3 import pose_compose, quat_identity
+from ssf_slam_tpu.ops.se3 import pose_compose, quat_identity, quat_normalize
 
 Array = jax.Array
 
@@ -86,7 +86,8 @@ def init_slam_state(cfg: PipelineConfig) -> SlamState:
         odom_t=jnp.zeros(3),
         vel_q=qid,
         vel_t=jnp.zeros(3),
-        map_state=init_map_state(cfg.mapping.max_keyframes, f),
+        map_state=init_map_state(cfg.mapping.max_keyframes, f,
+                                 refine_stride=cfg.mapping.refine_stride),
     )
 
 
@@ -185,12 +186,17 @@ def slam_step(
         scan["points"], scan["mask"], cfg.lidar, cfg.features
     )
     flow_variant = cfg.variant is not Variant.ONLY_PC
-    if cfg.variant == Variant.ONLY_PC or cfg.mapping.scan_to_map_refine or (
+    if cfg.variant == Variant.ONLY_PC or (
         flow_variant and cfg.egomotion.geom_refine
     ):
         # geom_refine needs the current scan's planes as the refinement
-        # target (odometry/flow_refine.py); scan_to_map_refine needs them
-        # as the incoming keyframe's source normals (mapping/keyframes.py)
+        # target (odometry/flow_refine.py); ONLY_PC needs them for the
+        # odometry itself. Flow variants WITHOUT geom_refine fit nothing
+        # here — the scan-to-map refine's normals are fit on strided rows
+        # inside the keyframe-event branch (mapping/keyframes.py), so the
+        # per-scan cost of MappingConfig.scan_to_map_refine is zero (the
+        # round-4 per-scan ring fit alone cost 3.8 ms/scan on-chip and
+        # was the headline-bench regression, 112.9 -> 41.2 scans/s).
         curr_planes = fit_ring_diverse_planes(feat, cfg.odometry)
     else:
         curr_planes = None
@@ -224,15 +230,36 @@ def slam_step(
     # named (its measured cost: scan-to-map refine latched mover blocs,
     # 0.04 -> 0.52 m, and had to ship disabled).
     kf_mask = feat.mask
+    n_dyn_over = jnp.int32(0)
     if flow_variant and cfg.mapping.seg_gate_keyframes:
         warped = scan["flow_points"] + scan["flow"]
-        dyn = scan["flow_mask"] & ~motion[2]
+        # Gate with the residual-TRIMMED static mask, not the raw variant
+        # verdict: false-statics the segmentation missed but whose flow
+        # disagrees with the fitted rigid motion are exactly the leaks
+        # trim_static_mask exists to catch, and a leaked mover in the
+        # stored keyframe cloud anchors the scan-to-map refine target.
+        static_trim = trim_static_mask(
+            scan["flow_points"], scan["flow"], motion[2], rel_q, rel_t,
+            cfg.egomotion.refine_trim_resid,
+        )
+        dyn = scan["flow_mask"] & ~static_trim
         near_dyn = _near_dynamic(feat.xyz, warped, dyn,
                                  cfg.mapping.seg_gate_radius)
         kf_mask = feat.mask & ~near_dyn
+        # movers past the compaction budget lose gate coverage — surface
+        # the overflow so hosts can warn (cli.py), instead of truncating
+        # silently (round-4 advisor finding)
+        n_dyn_over = jnp.maximum(
+            jnp.sum(dyn.astype(jnp.int32)) - _DYN_BUDGET, 0
+        )
 
-    # integrate: q_0_curr = q_0_last * q_last_curr (lidarOdometry.cpp:87-88)
+    # integrate: q_0_curr = q_0_last * q_last_curr (lidarOdometry.cpp:87-88).
+    # Renormalized: the integrated quaternion accumulates fp norm drift
+    # linearly over thousands of scans (and the mapping adjust chain, which
+    # composes against it, amplifies any off-unit norm multiplicatively —
+    # see mapping/keyframes.py).
     odom_q, odom_t = pose_compose((state.odom_q, state.odom_t), (rel_q, rel_t))
+    odom_q = quat_normalize(odom_q)
 
     map_state, map_out = mapping_step(
         state.map_state, odom_q, odom_t, feat.xyz, kf_mask,
@@ -276,6 +303,7 @@ def slam_step(
         rel_t=rel_t,
         is_keyframe=map_out["is_keyframe"],
         n_features=jnp.sum(feat.mask.astype(jnp.int32)),
+        n_dyn_over=n_dyn_over,
     )
     return new_state, outputs
 

@@ -147,6 +147,7 @@ class StreamingRunner:
                 fh.flush()
 
         t_start = time.perf_counter()
+        dispatch_ms: list[float] = []
         for f in itertools.chain([first], it):
             t0 = time.perf_counter()
             if box is not None and not warned_box:
@@ -160,6 +161,7 @@ class StreamingRunner:
                           "route's expected travel", file=sys.stderr)
             scan = to_device(f, prev_pts, prev_mask)
             carry, outs = step(carry, scan)
+            dispatch_ms.append((time.perf_counter() - t0) * 1e3)
             prev_pts, prev_mask = scan["points"], scan["mask"]
             pending.append((t0, float(f["time"]),
                             outs["pose_t"], outs["pose_q"]))
@@ -177,10 +179,19 @@ class StreamingRunner:
         self.final_state = carry[0]
 
         lat = np.asarray(self.latencies_ms)
+        disp = np.asarray(dispatch_ms)
         return dict(
             n_scans=n_scans,
             hz=n_scans / wall,
+            # COMPLETION latency: scan arrival -> pose read back. At
+            # pipeline_depth > 1 this includes the queue wait (up to
+            # depth-1 extra step times); depth 1 = live-latency semantics.
             latency_ms_mean=float(lat.mean()),
             latency_ms_p95=float(np.percentile(lat, 95)),
+            # DISPATCH latency: host time to enqueue one step (the cadence
+            # floor — what bounds sustained Hz when the device keeps up)
+            dispatch_ms_mean=float(disp.mean()),
+            dispatch_ms_p95=float(np.percentile(disp, 95)),
+            pipeline_depth=self.pipeline_depth,
             n_loops=int(carry[0].map_state.n_loops_total),
         )

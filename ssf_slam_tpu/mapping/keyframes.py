@@ -31,6 +31,7 @@ from ssf_slam_tpu.ops.se3 import (
     pose_between,
     pose_compose,
     quat_identity,
+    quat_normalize,
     quat_rotate,
     quat_to_rpy,
 )
@@ -62,6 +63,13 @@ class MapState(NamedTuple):
     # keyframe write moves gigabytes (measured 27 ms/frame).
     kf_cloud: Array  # [K, 3, F] feature cloud per keyframe (sensor frame)
     kf_cloud_mask: Array  # [K, F]
+    # Strided refine substore (R = F // MappingConfig.refine_stride): TLS
+    # normals of every stride-th cloud row, fit once at keyframe creation.
+    # The scan-to-map refine target gathers THESE instead of re-fitting
+    # planes on the aggregated submap every event (the round-4 design,
+    # whose 16k-point TLS fit alone cost 8.5 ms/keyframe on-chip).
+    kf_rnorm: Array  # [K, 3, R] stored normals (sensor frame)
+    kf_rvalid: Array  # [K, R]
     odom_rel_q: Array  # [K, 4] measured between factor (i-1 -> i)
     odom_rel_t: Array  # [K, 3]
     n_kf: Array  # int32 cursor
@@ -81,9 +89,10 @@ class MapState(NamedTuple):
 
 def init_map_state(
     max_keyframes: int, cloud_size: int, dtype=jnp.float32,
-    max_loops: int = MAX_LOOPS,
+    max_loops: int = MAX_LOOPS, refine_stride: int = 4,
 ) -> MapState:
     k, f, l = max_keyframes, cloud_size, max_loops
+    r = max(cloud_size // max(refine_stride, 1), 1)
     qid = quat_identity(dtype)
     return MapState(
         kf_q=jnp.tile(qid, (k, 1)),
@@ -91,6 +100,8 @@ def init_map_state(
         kf_time=jnp.zeros((k,), dtype),
         kf_cloud=jnp.zeros((k, 3, f), dtype),
         kf_cloud_mask=jnp.zeros((k, f), bool),
+        kf_rnorm=jnp.zeros((k, 3, r), dtype),
+        kf_rvalid=jnp.zeros((k, r), bool),
         odom_rel_q=jnp.tile(qid, (k, 1)),
         odom_rel_t=jnp.zeros((k, 3), dtype),
         n_kf=jnp.int32(0),
@@ -184,49 +195,118 @@ def _build_submap(
     return compact[sel], i < n_v
 
 
-def _refine_to_submap(
-    state: MapState, q, t, cloud_xyz, cloud_mask, cloud_planes,
-    cfg: MappingConfig,
-):
-    """Point-to-plane registration of the incoming keyframe cloud against
-    the recent keyframe submap (scan-to-map stage; the reference has none —
-    mapOptmization.cpp:450 uses raw integrated odometry between loop
-    events). Returns (q_ref, t_ref, corr_q, corr_t, accepted).
+def _build_refine_submap(state: MapState, center, halfwidth: int,
+                         out_points: int):
+    """Refine target: gather +-halfwidth keyframes' STRIDED rows with their
+    stored normals, rotate both into the map frame, compact the valid rows
+    and stride to a fixed budget (same proportional-subsample scheme as
+    ``_build_submap``). Returns (pts [S,3], nrm [S,3], mask [S])."""
+    k_buf, _, r = state.kf_rnorm.shape
+    f = state.kf_cloud.shape[2]
+    stride = max(f // r, 1)
+    offs = jnp.arange(-halfwidth, halfwidth + 1)
+    ks = center + offs
+    valid_k = (ks >= 0) & (ks < state.n_kf)
+    ks = jnp.clip(ks, 0, k_buf - 1)
+    clouds = jnp.swapaxes(state.kf_cloud[ks, :, ::stride][:, :, :r], 1, 2)
+    nrms = jnp.swapaxes(state.kf_rnorm[ks], 1, 2)  # [W, R, 3]
+    masks = (state.kf_cloud_mask[ks, ::stride][:, :r]
+             & state.kf_rvalid[ks] & valid_k[:, None])
+    qs, ts = state.kf_q[ks], state.kf_t[ks]
+    pts = (quat_rotate(qs[:, None, :], clouds) + ts[:, None, :]).reshape(-1, 3)
+    nrm = quat_rotate(qs[:, None, :], nrms).reshape(-1, 3)
+    mask = masks.reshape(-1)
+    n = pts.shape[0]
+    n_v = jnp.sum(mask.astype(jnp.int32))
+    slot = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    idx = jnp.where(mask, slot, n)
+    both = jnp.concatenate([pts, nrm], axis=-1)
+    compact = jnp.zeros_like(both).at[idx].set(both, mode="drop")
+    m = min(out_points, n)
+    i = jnp.arange(m, dtype=jnp.int32)
+    sel = jnp.where(n_v >= m, (i * n_v) // m, i)
+    picked = compact[sel]
+    return picked[:, :3], picked[:, 3:], i < n_v
 
-    Reuses the odometry Gauss-Newton (``scan_to_scan``) with: no BEV init
-    (the map-pose init is already metric), a strong prior anchored at the
-    incoming pose so only submap-observed directions move, and TLS planes
-    fit on the ring-less submap (odometry/scan2map.py).
-    """
-    from ssf_slam_tpu.config import OdometryConfig
-    from ssf_slam_tpu.frontend.features import FeatureCloud
-    from ssf_slam_tpu.odometry.scan2map import fit_local_planes
-    from ssf_slam_tpu.odometry.scan2scan import scan_to_scan
+
+def _register_to_submap(src_xyz, src_mask, tgt, tgt_nrm, tgt_mask,
+                        q0, t0, cfg: MappingConfig):
+    """Point-to-plane GN of the strided source rows against the refine
+    submap: ONE association at the incoming (odometry-accurate, cm-level)
+    pose, then ``refine_gn_iters`` Huber-IRLS steps with a prior anchored at
+    (q0, t0) and per-step clamps. The round-4 version re-ran the full
+    odometry solver here (2 re-association passes + hypothesis scoring);
+    with a metric init the association barely moves across <=0.2 m steps,
+    so a single pass keeps the accuracy at a third of the cost.
+
+    Returns (q, t, n_inliers)."""
+    from ssf_slam_tpu.odometry.scan2scan import _huber_weight
+    from ssf_slam_tpu.ops.knn import knn
+    from ssf_slam_tpu.ops.precision import GEOM
+    from ssf_slam_tpu.ops.se3 import (
+        quat_conjugate,
+        quat_multiply,
+        quat_normalize,
+        so3_exp_quat,
+        so3_log_quat,
+    )
+
+    warped = quat_rotate(q0[None], src_xyz) + t0[None]
+    d, j = knn(warped, tgt, 1, points_mask=tgt_mask, approx=True)
+    j, d = j[:, 0], d[:, 0]
+    pa, na = tgt[j], tgt_nrm[j]
+    w_valid = src_mask & tgt_mask[j] & (d < cfg.refine_max_corr_dist**2)
+    n_in = jnp.sum(w_valid.astype(jnp.int32))
+    w_prior = jnp.concatenate([
+        jnp.full((3,), cfg.refine_prior_rot),
+        jnp.full((3,), cfg.refine_prior_trans),
+    ])
+
+    def gn(_, carry):
+        q, t = carry
+        u = quat_rotate(q[None], src_xyz)
+        r = jnp.einsum("fc,fc->f", u + t[None] - pa, na, precision=GEOM)
+        w = _huber_weight(r, cfg.refine_huber) * w_valid.astype(r.dtype)
+        jac = jnp.concatenate([jnp.cross(u, na), na], axis=-1)  # [R, 6]
+        h = jnp.einsum("fi,fj->ij", jac * w[:, None], jac, precision=GEOM)
+        g = jnp.einsum("fi,f->i", jac, w * r, precision=GEOM)
+        r_prior = jnp.concatenate([
+            so3_log_quat(quat_multiply(q, quat_conjugate(q0))), t - t0,
+        ])
+        h = h + jnp.diag(w_prior) + 1e-6 * jnp.eye(6, dtype=h.dtype)
+        g = g + w_prior * r_prior
+        delta = -jnp.linalg.solve(h, g)
+        delta = jnp.concatenate([
+            jnp.clip(delta[:3], -cfg.refine_max_rot_step,
+                     cfg.refine_max_rot_step),
+            jnp.clip(delta[3:], -cfg.refine_max_trans_step,
+                     cfg.refine_max_trans_step),
+        ])
+        q = quat_normalize(quat_multiply(so3_exp_quat(delta[:3]), q))
+        return q, t + delta[3:]
+
+    q, t = jax.lax.fori_loop(0, cfg.refine_gn_iters, gn, (q0, t0))
+    return q, t, n_in
+
+
+def _refine_to_submap(
+    state: MapState, q, t, src_xyz, src_mask, cfg: MappingConfig,
+):
+    """Scan-to-map refinement of the incoming keyframe (scan-to-map stage;
+    the reference has none — mapOptmization.cpp:450 uses raw integrated
+    odometry between loop events). ``src_xyz``/``src_mask`` are the STRIDED
+    rows of the incoming cloud. Returns (q_ref, t_ref, corr_q, corr_t,
+    accepted)."""
     from ssf_slam_tpu.ops.se3 import pose_inverse, so3_log_quat
 
     # window = the last (halfwidth+1 .. 2*halfwidth+1) keyframes, clipped at
-    # the sequence start by _build_submap's validity mask
+    # the sequence start by the builder's validity mask
     center = state.n_kf - 1 - cfg.refine_halfwidth
-    tgt, tgt_mask = _build_submap(
-        state, center, cfg.refine_halfwidth, cfg.submap_points
+    tgt, tgt_nrm, tgt_mask = _build_refine_submap(
+        state, center, cfg.refine_halfwidth, cfg.refine_submap_points
     )
-    planes = fit_local_planes(tgt, tgt_mask)
-    rcfg = OdometryConfig(
-        bev_init=False,
-        outer_iters=2,
-        gn_iters=4,
-        assoc_max_dist=cfg.refine_max_corr_dist,
-        prior_trans_weight=50.0,
-        prior_rot_weight=200.0,
-        max_trans_step=0.2,
-    )
-    zero_ring = jnp.zeros((cloud_xyz.shape[0],), jnp.int32)
-    curr = FeatureCloud(xyz=cloud_xyz, ring=zero_ring, mask=cloud_mask)
-    last = FeatureCloud(
-        xyz=tgt, ring=jnp.zeros((tgt.shape[0],), jnp.int32), mask=tgt_mask
-    )
-    q2, t2, n_in = scan_to_scan(
-        curr, last, planes, q, t, rcfg, curr_planes=cloud_planes
+    q2, t2, n_in = _register_to_submap(
+        src_xyz, src_mask, tgt, tgt_nrm, tgt_mask, q, t, cfg
     )
     # left correction in the map frame: refined = corr o raw
     corr_q, corr_t = pose_compose((q2, t2), pose_inverse((q, t)))
@@ -274,6 +354,17 @@ def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
             jnp.sum(w_pre), 1.0)
         accept = (fitness < cfg.icp_fitness_gate) | (
             fitness < cfg.icp_rel_improve * fitness_pre)
+        # Correction-magnitude sanity gate: the candidate was detected
+        # within loop_search_radius of the (drifted) pose, so a legitimate
+        # closure cannot move the pose much beyond that radius. Without
+        # this, a ground-plane-dominated scene lets a wildly slid ICP
+        # alignment (ground slides along itself freely) pass the absolute
+        # fitness gate and inject a multi-meter garbage factor (observed:
+        # an 11 m rel_t factor at fitness 0.58 warped the whole graph).
+        corr_disp = (jnp.einsum("ab,b->a", r, state.kf_t[idx]) + t_corr
+                     - state.kf_t[idx])
+        accept = accept & (
+            jnp.linalg.norm(corr_disp) < 1.5 * cfg.loop_search_radius)
         # buffer-full policy: a new factor must beat the weakest stored one
         # to enter (keep-best, never silent-drop — see MAX_LOOPS note)
         l_cap = state.loop_w.shape[0]
@@ -290,8 +381,15 @@ def _try_close_loop(state: MapState, idx, cfg: MappingConfig):
             rel_q, rel_t = pose_between(pose_corrected, pose_pre)
             li = jnp.where(saturated, weakest,
                            jnp.minimum(state.n_loops, l_cap - 1))
-            # trans_loop_adjust accumulates the ICP correction (:327,450)
+            # trans_loop_adjust accumulates the ICP correction (:327,450).
+            # NORMALIZE the accumulated rotation: the adjust quaternion is
+            # the one state that compounds multiplicatively forever, and a
+            # correction built as q2 o conj(q) carries |q| = |adjust| — so
+            # any epsilon of off-unit norm SQUARES per fold ((1+1e-7)^(2^k)
+            # explodes past ~20 events; observed |adjust_q| = 3.2 by
+            # keyframe 27, which scales every subsequent pose by |q|^2).
             adj_q, adj_t = pose_compose(corr, (state.adjust_q, state.adjust_t))
+            adj_q = quat_normalize(adj_q)
             state = state._replace(
                 loop_a=row_write(state.loop_a, li, idx),
                 loop_b=row_write(state.loop_b, li, cand),
@@ -342,21 +440,40 @@ def mapping_step(
     feeds the TUM trajectory writer :353-374).
 
     ``cloud_planes`` (optional PlaneModel of ``cloud_xyz`` in the sensor
-    frame): when given and ``cfg.scan_to_map_refine``, each new keyframe is
+    frame): when ``cfg.scan_to_map_refine``, each new keyframe is
     scan-to-map refined against the recent submap before being recorded
-    (see _refine_to_submap). The ONLY_PC front-end has these normals
-    already computed; flow variants pass None and skip the stage.
+    (see _refine_to_submap), and its strided normals enter the refine
+    substore for future submap targets. When ``cloud_planes`` is given
+    (ONLY_PC / geom-refine paths, which compute ring-diverse planes
+    anyway), its strided rows are stored for free; otherwise TLS normals
+    are fit on the strided rows INSIDE the keyframe-event branch
+    (odometry/scan2map.py::fit_local_planes), so flow variants pay nothing
+    on non-keyframe scans. ALL variants participate since round 4
+    (MappingConfig.scan_to_map_refine default-on).
     """
     # loop-corrected map pose (T_map_0_curr = trans_loop_adjust * T_fodom, :450)
     q, t = pose_compose((state.adjust_q, state.adjust_t), (odom_q, odom_t))
     is_kf = _is_keyframe(state, q, t, cfg)
+    r = state.kf_rnorm.shape[2]
+    stride = max(cloud_xyz.shape[0] // r, 1)
+    src_xyz = cloud_xyz[::stride][:r]
+    src_mask = cloud_mask[::stride][:r]
 
     def add_keyframe(state):
         idx = state.n_kf
-        if cfg.scan_to_map_refine and cloud_planes is not None:
+        if cfg.scan_to_map_refine:
+            if cloud_planes is not None:
+                src_nrm = cloud_planes.normal[::stride][:r]
+                src_nvalid = cloud_planes.valid[::stride][:r]
+            else:
+                from ssf_slam_tpu.odometry.scan2map import fit_local_planes
+
+                pl = fit_local_planes(src_xyz, src_mask)
+                src_nrm, src_nvalid = pl.normal, pl.valid
+
             def do_refine(state):
                 qr, tr, cq, ct, _ = _refine_to_submap(
-                    state, q, t, cloud_xyz, cloud_mask, cloud_planes, cfg
+                    state, q, t, src_xyz, src_mask, cfg
                 )
                 # fold into the running adjust so every subsequent (non-
                 # keyframe) pose inherits the correction, exactly like the
@@ -364,6 +481,9 @@ def mapping_step(
                 adj_q, adj_t = pose_compose(
                     (cq, ct), (state.adjust_q, state.adjust_t)
                 )
+                # see the loop-closure fold: the adjust norm squares per
+                # fold without this
+                adj_q = quat_normalize(adj_q)
                 return state._replace(adjust_q=adj_q, adjust_t=adj_t), qr, tr
 
             state, qk, tk = jax.lax.cond(
@@ -374,6 +494,8 @@ def mapping_step(
             )
         else:
             qk, tk = q, t
+            src_nrm = jnp.zeros((r, 3), cloud_xyz.dtype)
+            src_nvalid = jnp.zeros((r,), bool)
         prev = jnp.maximum(idx - 1, 0)
         rel_q, rel_t = pose_between(
             (state.kf_q[prev], state.kf_t[prev]), (qk, tk)
@@ -384,6 +506,8 @@ def mapping_step(
             kf_time=row_write(state.kf_time, idx, time),
             kf_cloud=row_write(state.kf_cloud, idx, cloud_xyz.T),
             kf_cloud_mask=row_write(state.kf_cloud_mask, idx, cloud_mask),
+            kf_rnorm=row_write(state.kf_rnorm, idx, src_nrm.T),
+            kf_rvalid=row_write(state.kf_rvalid, idx, src_nvalid & src_mask),
             odom_rel_q=row_write(state.odom_rel_q, idx, rel_q),
             odom_rel_t=row_write(state.odom_rel_t, idx, rel_t),
             n_kf=idx + 1,

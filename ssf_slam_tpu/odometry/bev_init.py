@@ -207,7 +207,13 @@ def _correlate(
           + (disp[None, :] - pred_t[1]) ** 2)
     window = d2 <= plaus_gate * plaus_gate
     t_p, s_p, p_localmax = _peak(corr, cell, window=window)
-    return t_g, s_g, t_p, s_p, p_localmax & jnp.isfinite(s_p)
+    # Empty-window guard: when no finite correlation cell lies inside the
+    # dynamics window (pred_t beyond max_shift — e.g. a diverged previous
+    # velocity), _peak's argmax over the all--inf surface degenerates to
+    # cell (0, 0) carrying the FULL-surface score corr[0, 0]; without this
+    # guard that near-zero-shift artifact could pass the plausibility pick.
+    nonempty = jnp.any(window & jnp.isfinite(corr))
+    return t_g, s_g, t_p, s_p, p_localmax & nonempty & jnp.isfinite(s_p)
 
 
 @functools.partial(

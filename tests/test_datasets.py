@@ -221,10 +221,15 @@ def test_town02_npz_flow_matches_oracle(town02_seq):
     out, frames, poses = town02_seq
     for k in (0, 3, 7):
         (p1, y1), (p2, y2) = poses[k], poses[k + 1]
+        # world-from-sensor rotations (p_world = p_sensor @ r.T + t):
+        # make_town02_seq's view() maps w -> (w - p) @ R(yaw), whose
+        # inverse is w = s @ R(yaw).T + p, so r = R(yaw) itself. (Round 4
+        # transposed these in BOTH the script and this test — a shared
+        # error the rigid yaw-only path masked; see make_town02_seq.py.)
         c1, s1 = np.cos(y1), np.sin(y1)
         c2, s2 = np.cos(y2), np.sin(y2)
-        r1 = np.array([[c1, -s1, 0], [s1, c1, 0], [0, 0, 1.0]]).T
-        r2 = np.array([[c2, -s2, 0], [s2, c2, 0], [0, 0, 1.0]]).T
+        r1 = np.array([[c1, -s1, 0], [s1, c1, 0], [0, 0, 1.0]])
+        r2 = np.array([[c2, -s2, 0], [s2, c2, 0], [0, 0, 1.0]])
         with np.load(os.path.join(out, f"{k:06d}.npz")) as z:
             flow_o, _ = oracle_scene_flow(
                 z["points1"], r1, p1, y1, r2, p2, y2, objects=[])
