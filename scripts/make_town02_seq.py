@@ -38,23 +38,34 @@ def _yaw(a: float) -> np.ndarray:
     return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
-def sensor_track(n: int) -> list[tuple[np.ndarray, float]]:
+def sensor_track(n: int, route_seed: int | None = None
+                 ) -> list[tuple[np.ndarray, float]]:
     """A drive through Town02's populated block: straight + gentle turn.
 
     Stays inside the map's x in [-9, 195], y in [-308, -103] extent.
+    ``route_seed`` varies the start pose / curvature (for corpus variety);
+    None keeps the round-4 canonical route. Starts are drawn from a block
+    of the map dense enough that the min_pts guard in make_frames holds.
     """
+    if route_seed is None:
+        pos, yaw, amp, sp = np.array([60.0, -250.0, 0.0]), 0.15, 0.012, 1.1
+    else:
+        rr = np.random.default_rng(route_seed)
+        pos = np.array([float(rr.uniform(40.0, 120.0)),
+                        float(rr.uniform(-270.0, -200.0)), 0.0])
+        yaw = float(rr.uniform(-0.4, 0.4)) + float(rr.choice([0.0, np.pi]))
+        amp = float(rr.uniform(0.004, 0.02))
+        sp = float(rr.uniform(0.8, 1.4))
     poses = []
-    pos = np.array([60.0, -250.0, 0.0])
-    yaw = 0.15
     for k in range(n + 1):
         poses.append((pos.copy(), yaw))
-        yaw += 0.012 * np.sin(k * 0.2)
-        pos = pos + _yaw(yaw)[:, 0] * 1.1
+        yaw += amp * np.sin(k * 0.2)
+        pos = pos + _yaw(yaw)[:, 0] * sp
     return poses
 
 
 def vehicle_tracks(n_frames: int, n_vehicles: int, seed: int = 0,
-                   dt: float = 0.1):
+                   dt: float = 0.1, route_seed: int | None = None):
     """Tracked vehicles driving along/near the sensor route, matching
     Generate_Sceneflow.py:498-523 semantics: each vehicle is a yawed bbox
     whose per-pair motion is a center displacement + yaw delta; its body is
@@ -64,9 +75,11 @@ def vehicle_tracks(n_frames: int, n_vehicles: int, seed: int = 0,
       {centers [n+1,3], yaws [n+1], size [3], body [P,3] (box-local)}.
     """
     rng = np.random.default_rng(seed)
-    route = sensor_track(n_frames)
+    route = sensor_track(n_frames, route_seed)
     vehicles = []
-    for v in range(n_vehicles):
+    attempts = 0
+    while len(vehicles) < n_vehicles and attempts < 50 * n_vehicles:
+        attempts += 1
         # anchor near a random point of the sensor route, offset laterally
         # (a lane over), driving roughly along the local route direction
         k0 = int(rng.integers(0, n_frames))
@@ -89,6 +102,18 @@ def vehicle_tracks(n_frames: int, n_vehicles: int, seed: int = 0,
             yaws.append(h)
             c = c + _yaw(h)[:, 0] * speed * dt
             h += yaw_rate * dt
+        centers = np.asarray(centers)
+        # reject tracks that ever come within 7 m of an accepted vehicle:
+        # overlapping boxes are unphysical AND ill-posed (a point inside
+        # two boxes has no single object motion — the production generator
+        # and the oracle would legitimately disagree there)
+        too_close = any(
+            float(np.min(np.linalg.norm(
+                centers[:, :2] - other["centers"][:, :2], axis=1))) < 7.0
+            for other in vehicles
+        )
+        if too_close:
+            continue
         # box-local surface shell (roof + 4 sides), LiDAR-like coverage
         n_body = 220
         u = rng.uniform(-0.5, 0.5, (n_body, 2))
@@ -106,14 +131,15 @@ def vehicle_tracks(n_frames: int, n_vehicles: int, seed: int = 0,
             w[:, 1 - ax] = u[sel, 0] * size[1 - ax]
             w[:, 2] = (u[sel, 1]) * sz
             body[sel] = w
-        vehicles.append(dict(centers=np.asarray(centers),
+        vehicles.append(dict(centers=centers,
                              yaws=np.asarray(yaws), size=size,
                              body=body))
     return vehicles
 
 
 def make_frames(n_frames: int, radius: float = 60.0, min_pts: int = 512,
-                n_vehicles: int = 0, seed: int = 0):
+                n_vehicles: int = 0, seed: int = 0,
+                route_seed: int | None = None):
     """Frame pairs off the real Town02 map, optionally with tracked movers.
 
     With ``n_vehicles`` > 0, each frame's clouds include the vehicles'
@@ -128,8 +154,9 @@ def make_frames(n_frames: int, radius: float = 60.0, min_pts: int = 512,
     )
 
     m = np.fromfile(MAP_BIN, np.float32).reshape(-1, 4)[:, :3]
-    poses = sensor_track(n_frames)
-    vehicles = vehicle_tracks(n_frames, n_vehicles, seed=seed)
+    poses = sensor_track(n_frames, route_seed)
+    vehicles = vehicle_tracks(n_frames, n_vehicles, seed=seed,
+                              route_seed=route_seed)
     frames = []
     for k in range(n_frames):
         (p1, y1), (p2, y2) = poses[k], poses[k + 1]

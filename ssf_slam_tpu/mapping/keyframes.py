@@ -252,7 +252,10 @@ def _register_to_submap(src_xyz, src_mask, tgt, tgt_nrm, tgt_mask,
     )
 
     warped = quat_rotate(q0[None], src_xyz) + t0[None]
-    d, j = knn(warped, tgt, 1, points_mask=tgt_mask, approx=True)
+    # no re-rank: the association only thresholds d and a near-tie neighbor
+    # swap changes one correspondence among ~1024 (ops/knn.py rerank note)
+    d, j = knn(warped, tgt, 1, points_mask=tgt_mask, approx=True,
+               rerank=False)
     j, d = j[:, 0], d[:, 0]
     pa, na = tgt[j], tgt_nrm[j]
     w_valid = src_mask & tgt_mask[j] & (d < cfg.refine_max_corr_dist**2)

@@ -55,7 +55,10 @@ def fit_local_planes(
         cpp:221-232, expressed statistically since there is no ordered
         5-point chain here).
     """
-    d, idx = knn(pts, pts, k, points_mask=mask, approx=True)
+    # no re-rank: the TLS fit consumes the neighborhood as an unordered
+    # set, so approx_max_k's relaxed ordering costs nothing but the exact
+    # candidate re-rank's gather does (ops/knn.py)
+    d, idx = knn(pts, pts, k, points_mask=mask, approx=True, rerank=False)
     nb = pts[idx]  # [N, k, 3]
     w = mask[idx].astype(pts.dtype)  # [N, k]
     wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1.0)  # [N, 1]

@@ -49,7 +49,7 @@ def pairwise_sqdist(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "query_chunk", "approx")
+    jax.jit, static_argnames=("k", "query_chunk", "approx", "rerank")
 )
 def knn(
     query: Array,
@@ -59,6 +59,7 @@ def knn(
     points_mask: Array | None = None,
     query_chunk: int = 2048,
     approx: bool = False,
+    rerank: bool = True,
 ) -> tuple[Array, Array]:
     """k nearest neighbors of each query point among ``points``.
 
@@ -75,6 +76,12 @@ def knn(
         exact selection. Neighbor recall ~0.95 — right for neural-net
         grouping layers; keep exact (default) for the geometry/registration
         path where correspondence quality is accuracy-critical.
+      rerank: with approx=True, re-rank a candidate superset with the exact
+        subtractive distance (default). ``rerank=False`` skips the candidate
+        gather + re-sort and returns approx_max_k's own (relaxed-precision)
+        distances/order — right when the consumer only thresholds distances
+        or treats neighbors as an unordered set (plane-fit neighborhoods,
+        gated 1-NN association), where a near-tie permutation is harmless.
 
     Returns:
       (sqdists [..., N, k], indices [..., N, k]) sorted ascending by distance.
@@ -92,7 +99,10 @@ def knn(
     # exact subtractive distance — O(N*(k+slack)*3), negligible.
     # larger candidate superset under approx: recovers both approx_max_k
     # misses and relaxed-precision distance ordering errors
-    slack = min(8 if approx else 4, m - k) if m > k else 0
+    if approx and not rerank:
+        slack = 0
+    else:
+        slack = min(8 if approx else 4, m - k) if m > k else 0
     kk = k + slack
 
     dist_precision = (
@@ -103,6 +113,9 @@ def knn(
         d = pairwise_sqdist(q_chunk, points, precision=dist_precision)
         if points_mask is not None:
             d = jnp.where(points_mask[..., None, :], d, _BIG)
+        if approx and not rerank:
+            negd, cand = jax.lax.approx_max_k(-d, kk)
+            return -negd, cand
         if approx:
             _, cand = jax.lax.approx_max_k(-d, kk)  # [..., nq, kk]
         else:
