@@ -98,6 +98,14 @@ def main() -> int:
                    help="hybrid FG/BG sampling target per training frame")
     p.add_argument("--hard", action="store_true",
                    help="slow/crossing-mover corpus (round-3 recipe)")
+    p.add_argument("--town02-routes", type=int, default=0,
+                   help="mix N routes over the real recorded Town02 map "
+                        "(with tracked movers) into the corpus; also "
+                        "evaluates a held-out Town02 route each epoch "
+                        "(t2_* metrics)")
+    p.add_argument("--town02-frames", type=int, default=24,
+                   help="frame pairs per Town02 route")
+    p.add_argument("--town02-vehicles", type=int, default=4)
     p.add_argument("--init-from", default=None,
                    help="warm-start params/batch_stats from DIR/best "
                         "(fresh optimizer; for fine-tuning)")
@@ -109,8 +117,20 @@ def main() -> int:
                         "it for flow accuracy)")
     p.add_argument("--seg-weight", type=float, default=1.0,
                    help="scale on the joint-seg BCE term")
+    p.add_argument("--best-on", default="eval",
+                   choices=("eval", "t2", "mean"),
+                   help="which held-out metrics drive best-checkpoint "
+                        "selection: the synthetic eval split ('eval'), the "
+                        "held-out Town02 route ('t2', requires "
+                        "--town02-routes), or their mean EPE gated on the "
+                        "WORSE of the two moving-IoUs ('mean')")
+    p.add_argument("--neighbor-backend", default="banded",
+                   help="'banded' (TPU Pallas kernels, production) or "
+                        "'xla' (portable; for CPU debugging runs)")
     args = p.parse_args()
 
+    if args.best_on != "eval" and not args.town02_routes:
+        p.error(f"--best-on {args.best_on} requires --town02-routes > 0")
     try:
         gate_iou = parse_best_criterion(args.best_criterion)
     except ValueError as exc:
@@ -132,6 +152,22 @@ def main() -> int:
     train_frames, eval_frames = build_corpus(
         args.n_worlds, args.frames_per_world,
         fg_oversample=args.fg_oversample, hard=args.hard)
+    t2_eval_frames = []
+    if args.town02_routes:
+        from ssf_slam_tpu.data.town02 import training_frames
+
+        t2_train = training_frames(
+            args.town02_routes, args.town02_frames, n_points=N_POINTS,
+            n_vehicles=args.town02_vehicles, seed_base=0,
+            fg_oversample=args.fg_oversample)
+        # held-out route: disjoint seed_base so route_seed/vehicle seeds
+        # never collide with any training route
+        t2_eval_frames = training_frames(
+            1, 16, n_points=N_POINTS, n_vehicles=args.town02_vehicles,
+            seed_base=7777)
+        train_frames.extend(t2_train)
+        print(f"town02 mix: +{len(t2_train)} train pairs, "
+              f"{len(t2_eval_frames)} held-out pairs", flush=True)
     print(f"corpus: {len(train_frames)} train pairs, "
           f"{len(eval_frames)} eval pairs "
           f"({time.time() - t_start:.0f}s)", flush=True)
@@ -140,7 +176,8 @@ def main() -> int:
     print(f"label weights (static, moving): {lw}", flush=True)
 
     net_cfg = FlowNetConfig(npoint=N_POINTS, joint_seg=True,
-                            dtype="bfloat16", neighbor_backend="banded")
+                            dtype="bfloat16",
+                            neighbor_backend=args.neighbor_backend)
     model = TFlow(cfg=net_cfg)
     tcfg = TrainConfig(lr=args.lr, batch_size=args.batch_size,
                        epochs=args.epochs)
@@ -171,6 +208,8 @@ def main() -> int:
     seed_holder = [tcfg.seed + start_epoch]
     train_gen = batcher(train_frames, args.batch_size, seed_holder)
     eval_gen = batcher(eval_frames, args.batch_size, [999])
+    t2_gen = (batcher(t2_eval_frames, args.batch_size, [998])
+              if t2_eval_frames else None)
 
     tracker = BestTracker(gate_iou, best_epe)
     for epoch in range(start_epoch, args.epochs):
@@ -187,15 +226,35 @@ def main() -> int:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             ms.append({k: float(v) for k, v in eval_fn(state, batch).items()})
         agg = {k: float(np.mean([m[k] for m in ms])) for k in ms[0]}
+        if t2_gen is not None:
+            t2ms = []
+            for batch in t2_gen():
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                t2ms.append({k: float(v)
+                             for k, v in eval_fn(state, batch).items()})
+            agg.update({f"t2_{k}": float(np.mean([m[k] for m in t2ms]))
+                        for k in t2ms[0]})
         dt = time.time() - t0
+        t2_note = (f" t2EPE {agg['t2_epe3d']:.4f} "
+                   f"t2IoUm {agg.get('t2_iou_moving', float('nan')):.4f}"
+                   if t2_gen is not None else "")
         logger.cprint(
             f"epoch {epoch}: loss {epoch_loss:.4f} EPE {agg['epe3d']:.4f} "
             f"mIoU {agg.get('miou', float('nan')):.4f} "
-            f"acc3dr {agg['acc3d_relax']:.4f} ({dt:.0f}s)")
+            f"acc3dr {agg['acc3d_relax']:.4f}{t2_note} ({dt:.0f}s)")
         logger.metrics(int(state.step), epoch=epoch, epoch_loss=epoch_loss,
                        **agg)
 
-        if tracker.update(agg, epoch):
+        if args.best_on == "t2":
+            sel = {"epe3d": agg["t2_epe3d"],
+                   "iou_moving": agg.get("t2_iou_moving", 0.0)}
+        elif args.best_on == "mean":
+            sel = {"epe3d": (agg["epe3d"] + agg["t2_epe3d"]) / 2,
+                   "iou_moving": min(agg.get("iou_moving", 0.0),
+                                     agg.get("t2_iou_moving", 0.0))}
+        else:
+            sel = agg
+        if tracker.update(sel, epoch):
             save_checkpoint(os.path.abspath(args.out), state)
         save_resume(args.out, state, epoch, tracker.best_epe)
 

@@ -327,3 +327,32 @@ def test_town02_movers_end_to_end(town02_mover_seq, tmp_path):
     ref = np.stack([poses[k][0] for k in range(len(est))])
     ate = ate_rmse(est, ref)
     assert ate < 0.05, f"Town02 mover-scene ATE {ate:.4f} m"
+
+
+def test_town02_training_frames_dialect():
+    """training_frames emits the trainer's exact key dialect at fixed
+    n_points, with hybrid FG oversampling hitting its target and labels
+    staying aligned with the sampled points (data/town02.py)."""
+    if not os.path.exists(TOWN02_BIN):
+        pytest.skip("reference Town02 map not present")
+    from ssf_slam_tpu.data.town02 import training_frames
+
+    fr = training_frames(2, 3, n_points=2048, n_vehicles=3, seed_base=0,
+                         fg_oversample=256)
+    assert len(fr) == 6
+    for f in fr:
+        assert set(f) == {"pos1", "pos2", "gt", "s_fg_mask", "mask1"}
+        assert f["pos1"].shape == (2048, 3) and f["gt"].shape == (2048, 3)
+        # oversampling target: exactly 256 mover points (3 vehicles x 220
+        # shell points in range always exceed the target)
+        assert int((f["s_fg_mask"] > 0.5).sum()) == 256
+        # label/point alignment: mover points move differently from the
+        # rigid ego flow of their neighborhood -> nonzero spread
+        fg = f["s_fg_mask"] > 0.5
+        assert float(np.abs(f["gt"][fg]).max()) > 0
+    # two distinct routes must differ
+    assert not np.allclose(fr[0]["pos1"], fr[3]["pos1"])
+    # deterministic in seed_base
+    fr2 = training_frames(2, 3, n_points=2048, n_vehicles=3, seed_base=0,
+                          fg_oversample=256)
+    assert np.array_equal(fr[0]["pos1"], fr2[0]["pos1"])
