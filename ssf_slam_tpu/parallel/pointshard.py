@@ -101,14 +101,23 @@ def pointsharded_knn_group(
             t_ext = jnp.concatenate([tail, t_loc, head], axis=0)
             f_ext = jnp.concatenate([f_tail, f_loc, f_head], axis=0)
             # shard-edge devices: the wrapped halo rows are spatially bogus
-            # (device 0's "left neighbor" is device D-1); mask them out
+            # (device 0's "left neighbor" is device D-1); mask them out.
+            # DIRECTION MATTERS: the banded planner requires the target's
+            # Morton codes ascending, and morton_codes CLAMPS out-of-box
+            # coords — so front-bogus rows must go to -1e6 (code 0, still
+            # ascending) and back-bogus to +1e6 (max code). Masking both
+            # flanks to +1e6 put MAX codes at the FRONT of edge devices'
+            # targets, displacing every band by the 2 halo blocks (recall
+            # 0.097 on the n_dev=1 chip smoke, where BOTH flanks wrap; on
+            # the 8-device CPU mesh only device 0 suffered, which the
+            # aggregate recall threshold hid). Euclidean distance excludes
+            # both flavors from any top-k regardless of sign.
             didx = jax.lax.axis_index(axis)
             rows = jnp.arange(t_ext.shape[0])
-            valid = jnp.ones_like(rows, dtype=bool)
-            valid = valid & ~((didx == 0) & (rows < halo))
-            valid = valid & ~((didx == n_dev - 1) &
-                              (rows >= halo + shard_m))
-            big = jnp.where(valid[:, None], t_ext, 1e6)
+            front_bogus = (didx == 0) & (rows < halo)
+            back_bogus = (didx == n_dev - 1) & (rows >= halo + shard_m)
+            big = jnp.where(front_bogus[:, None], -1e6,
+                            jnp.where(back_bogus[:, None], 1e6, t_ext))
             if backend == "banded":
                 from ssf_slam_tpu.ops.neighbors import nn_knn_group
 
@@ -124,10 +133,15 @@ def pointsharded_knn_group(
             idx_glob = jnp.clip(idx_glob, 0, m - 1)
             return d, idx_glob.astype(jnp.int32), grouped
 
+        # check_vma=False: the banded pallas_call inside does not declare
+        # varying-mesh-axis metadata on its out ShapeDtypeStructs, which
+        # strict vma checking rejects on compiled (non-interpret) paths
+        # (same setting as parallel/mesh.py)
         return shard_map(
             per_device, mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
         )(q, t, f)
 
     d, idx, grouped = run(q_sh, t_sh, f_sh)

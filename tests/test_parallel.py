@@ -120,14 +120,18 @@ def test_sequences_sharded_fullsize_ssf():
 import pytest
 
 
-@pytest.mark.parametrize("backend", ["xla", "banded"])
-def test_pointsharded_knn_group_recall(backend):
+@pytest.mark.parametrize("backend,n_dev", [("xla", 8), ("banded", 8),
+                                           ("banded", 1)])
+def test_pointsharded_knn_group_recall(backend, n_dev):
     """Point-axis sharding (SURVEY §2.5 stretch): Morton-contiguous shards +
     ppermute halo exchange. Recall vs the exact single-device oracle must be
-    high on lidar-like clouds, and grouped features must match exactly on
-    agreeing indices. backend="banded" swaps the per-device search for the
-    single-chip Pallas engine (interpret mode here) so a real-slice run is a
-    config change, not new code."""
+    high on lidar-like clouds PER DEVICE (the round-5 chip smoke found edge
+    devices' bands displaced by the wrapped-halo masking — aggregate recall
+    hid it), and grouped features must match exactly on agreeing indices.
+    backend="banded" swaps the per-device search for the single-chip Pallas
+    engine (interpret mode here) so a real-slice run is a config change, not
+    new code; n_dev=1 is the worst case for the edge masking (both flanks
+    wrap)."""
     import contextlib
 
     import numpy as np
@@ -149,7 +153,7 @@ def test_pointsharded_knn_group_recall(backend):
         np.float32)
     feats = rng.normal(size=(m, c)).astype(np.float32)
 
-    mesh = make_mesh(8)
+    mesh = make_mesh(n_dev)
     ctx = (pltpu.force_tpu_interpret_mode() if backend == "banded"
            else contextlib.nullcontext())
     with ctx:
@@ -164,6 +168,20 @@ def test_pointsharded_knn_group_recall(backend):
     hits = sum(len(set(i_s[i]) & set(i_r[i])) for i in range(0, n, 4))
     recall = hits / (len(range(0, n, 4)) * k)
     assert recall > 0.9, recall
+
+    # per-device recall: device d owns Morton query rows [d*s, (d+1)*s)
+    from ssf_slam_tpu.ops.neighbors import cloud_box as _cb, morton_sort
+
+    _, q_perm = morton_sort(jax.numpy.asarray(q),
+                            box=_cb(jax.numpy.asarray(q),
+                                    jax.numpy.asarray(pts)))
+    q_perm = np.asarray(q_perm)
+    s = n // n_dev
+    for d in range(n_dev):
+        rows = q_perm[d * s:(d + 1) * s:4]
+        h = sum(len(set(i_s[i]) & set(i_r[i])) for i in rows)
+        r_d = h / (len(rows) * k)
+        assert r_d > 0.85, f"device {d} recall {r_d:.3f}"
 
     # grouped rows are exact copies of the target features: gather via the
     # returned global indices against the Morton-sorted feature array
