@@ -21,7 +21,11 @@ Appends nothing; prints a markdown table for docs/PERFORMANCE.md.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,11 @@ Usage: python scripts/bench_streaming.py
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -67,7 +71,7 @@ def main() -> None:
     def blocks():
         for k, f in enumerate(frames):
             yield k, dict(pos1=f["pos1"][None], mask1=f["mask1"][None],
-                          time=np.asarray([f["time"]], np.float32))
+                          time=np.full((1, 1), f["time"], np.float32))
 
     for depth in (1, 2, 4):
         t0 = time.perf_counter()

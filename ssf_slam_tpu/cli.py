@@ -52,9 +52,12 @@ def _build_model(args, variant: str | None = None, joint: bool | None = None):
     """Construct TFlow (+ checkpoint restore) for the sf/ssf variants.
 
     A joint flow+seg checkpoint (4-channel head) serves the sf variant too:
-    if restoring into the 3-channel model fails on the head shape, the
-    joint model is rebuilt and the seg channel simply goes unused (the SF
-    path takes flow[..., :3] and segments by GMM).
+    the checkpoint is restored as-saved and its shapes compared against the
+    3-channel template; on a head mismatch the joint model is built instead
+    and the seg channel simply goes unused (the SF path takes flow[..., :3]
+    and segments by GMM). Shape-compare-then-build avoids the failed
+    template restore of rounds 3-4, whose async orbax errors spammed ~100
+    traceback lines per variant even though the fallback succeeded.
     """
     import jax
     import jax.numpy as jnp
@@ -64,29 +67,47 @@ def _build_model(args, variant: str | None = None, joint: bool | None = None):
 
     if joint is None:
         joint = (variant or args.variant) == "ssf"
-    cfg = FlowNetConfig(npoint=args.n_points, joint_seg=joint,
-                        dtype=args.net_dtype,
-                        neighbor_backend=args.neighbor_backend)
-    model = TFlow(cfg=cfg)
-    rng = jax.random.PRNGKey(0)
-    pc = jnp.zeros((1, args.n_points, 3))
-    variables = jax.jit(model.init)(rng, pc, pc)
+    restored = None
     if args.ckpt:
         import os
 
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(args.ckpt))
+
+    def build(jt: bool):
+        cfg = FlowNetConfig(npoint=args.n_points, joint_seg=jt,
+                            dtype=args.net_dtype,
+                            neighbor_backend=args.neighbor_backend)
+        model = TFlow(cfg=cfg)
+        pc = jnp.zeros((1, args.n_points, 3))
+        return model, jax.jit(model.init)(jax.random.PRNGKey(0), pc, pc)
+
+    def mismatches(variables):
+        tmpl = dict(params=variables["params"],
+                    batch_stats=variables.get("batch_stats", {}))
+        bad = []
         try:
-            restored = ckptr.restore(
-                os.path.abspath(args.ckpt),
-                dict(params=variables["params"],
-                     batch_stats=variables.get("batch_stats", {})),
-            )
-        except ValueError:
-            if joint:
-                raise
-            return _build_model(args, variant, joint=True)
+            jax.tree.map(
+                lambda a, b: bad.append((a.shape, b.shape))
+                if a.shape != b.shape else None, tmpl, restored)
+        except ValueError:  # tree structure differs
+            return [("<structure>", "<structure>")]
+        return bad
+
+    model, variables = build(joint)
+    if restored is not None:
+        bad = mismatches(variables)
+        if bad and not joint:  # flow-only template vs a joint checkpoint
+            model, variables = build(True)
+            bad = mismatches(variables)
+        if bad:
+            raise ValueError(
+                f"checkpoint {args.ckpt} does not fit the model "
+                f"(npoint={args.n_points}): first mismatch "
+                f"template{bad[0][0]} vs stored{bad[0][1]} — checkpoints "
+                "bind --n-points and the head shape")
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
     else:
@@ -168,13 +189,21 @@ def _build_seg_classifier(args):
     return seg_apply
 
 
-def _run_variant(frames: list, variant_name: str, args):
+def _run_variant(frames: list, variant_name: str, args, *,
+                 force_raw: bool = False):
     """Run one pipeline variant over frames -> (times, pos, quat) arrays.
 
     sf/ssf/ssfc route through the FUSED engine (engine/fused.py): TFlow (and
     for ssfc the SegNet classifier) runs inside the jitted per-scan step —
     no per-frame host dispatch (the round-1 CLI's per-pair infer() hop cost
     ~25 ms/frame on this runtime).
+
+    ``force_raw`` ignores --geom-refine for this variant: cmd_evaluate uses
+    it so the Seg reference trajectory (evo's --ref, reference README:64-72)
+    is always the raw GT-mask run — measured on the chip, refine anchored on
+    the GT mask still degrades seg (0.0354 -> 0.0999 ATE-vs-GT, round 5)
+    because the planar-feature anchor inherits scan sparsity the GT flow
+    does not have, and a degraded reference distorts every other column.
     """
     from ssf_slam_tpu.config import PipelineConfig, Variant
     from ssf_slam_tpu.engine import run_sequence
@@ -182,7 +211,7 @@ def _run_variant(frames: list, variant_name: str, args):
     classifier = variant_name == "ssfc"
     variant = Variant.SSF if classifier else Variant(variant_name)
     cfg = PipelineConfig(variant=variant)
-    if getattr(args, "geom_refine", False):
+    if getattr(args, "geom_refine", False) and not force_raw:
         cfg = cfg.replace(
             egomotion=dataclasses.replace(cfg.egomotion, geom_refine=True))
 
@@ -321,7 +350,10 @@ def cmd_evaluate(args) -> int:
 
     results = {}
     for v in variants:
-        times, pos, quat, _ = _run_variant(frames, v, args)
+        # seg is evo's --ref: always the raw GT-mask run, even under
+        # --geom-refine (see _run_variant docstring)
+        times, pos, quat, _ = _run_variant(frames, v, args,
+                                           force_raw=(v == "seg"))
         tum = os.path.join(args.out_dir, f"00_{v.upper()}.tum")
         write_tum(tum, times, pos, quat)
         tum_file_to_kitti(tum, tum.replace(".tum", ".kitti"))

@@ -138,8 +138,9 @@ class StreamingRunner:
 
         def retire(entry):
             t_arr, t_scan, pose_t, pose_q = entry
-            p = np.asarray(pose_t)
-            q = np.asarray(pose_q)  # [w, x, y, z]
+            # one batched readback — per-leaf np.asarray costs a full tunnel
+            # round trip PER LEAF (same trap mesh.py documents: ~2x here)
+            p, q = jax.device_get((pose_t, pose_q))  # q is [w, x, y, z]
             self.latencies_ms.append((time.perf_counter() - t_arr) * 1e3)
             if fh is not None:
                 fh.write(f"{t_scan:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "

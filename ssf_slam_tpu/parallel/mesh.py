@@ -222,7 +222,7 @@ def run_sequences_sharded_streaming(
     variables,
     use_gmm: bool = False,
     box_margin: float = 100.0,
-    pipeline_depth: int = 2,
+    pipeline_depth: int = 1,
 ):
     """ONLINE multi-sequence engine: one shard_map'd fused step per arriving
     frame-block, one sequence per device.
@@ -240,9 +240,13 @@ def run_sequences_sharded_streaming(
     ``pipeline_depth`` in-flight steps are kept enqueued before the oldest
     step's outputs are read back (same double-buffering as
     engine/streaming.py): the devices compute block k+1 while the host pays
-    block k's readback round-trip, hiding the per-dispatch tunnel overhead
-    that made the round-3 synchronous loop 6x slower than the in-scan step
-    cost (docs/PERFORMANCE.md pathology #1). Depth 1 = strictly synchronous.
+    block k's readback round-trip. Depth 1 = strictly synchronous — and it
+    is the MEASURED default for THIS engine (21.9 Hz/seq vs 12.7 at depth 2,
+    scripts/bench_streaming.py round 5): unlike StreamingRunner, which reads
+    back only the pose pair and gains from depth 2, this engine reads back
+    the full per-scan outs dict, and stacking those large readbacks behind
+    extra in-flight dispatches serializes on the tunnel instead of hiding
+    latency (docs/PERFORMANCE.md pathology #1 discussion).
 
     The Morton box is anchored at the first block plus ``box_margin`` m of
     travel headroom (same online-box contract as engine/streaming.py); the
