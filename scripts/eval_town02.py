@@ -54,6 +54,10 @@ def main() -> int:
     p.add_argument("--neighbor-backend", default="banded")
     p.add_argument("--resample", type=int, default=1)
     p.add_argument("--variant", default="ssf")
+    p.add_argument("--structures", action="store_true",
+                   help="add procedural road-edge facades (observable "
+                        "geometry; the bare map is planar — see "
+                        "data/town02.py::map_structures)")
     p.add_argument("--out-json", default=None)
     args = p.parse_args()
 
@@ -69,7 +73,8 @@ def main() -> int:
 
     mod = load_maker()
     raw, poses = mod.make_frames(args.frames, n_vehicles=args.vehicles,
-                                 seed=args.seed)
+                                 seed=args.seed,
+                                 structures=args.structures)
     n = args.n_points
     rng = np.random.default_rng(0)
     frames = []

@@ -44,10 +44,15 @@ def main() -> int:
     ap.add_argument("--route-seed", type=int, default=None,
                     help="vary start pose / heading / curvature (None = "
                          "the canonical round-4 route)")
+    ap.add_argument("--structures", action="store_true",
+                    help="add procedural road-edge facades (the map alone "
+                         "is planar -> in-plane motion unobservable; see "
+                         "data/town02.py::map_structures)")
     args = ap.parse_args()
 
     frames, poses = make_frames(args.frames, n_vehicles=args.vehicles,
-                                seed=args.seed, route_seed=args.route_seed)
+                                seed=args.seed, route_seed=args.route_seed,
+                                structures=args.structures)
     os.makedirs(args.out, exist_ok=True)
     for k, fr in enumerate(frames):
         np.savez(os.path.join(args.out, f"{k:06d}.npz"), **fr)

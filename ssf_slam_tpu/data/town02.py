@@ -131,9 +131,59 @@ def vehicle_tracks(n_frames: int, n_vehicles: int, seed: int = 0,
     return vehicles
 
 
+def map_structures(seed: int = 0, cell: float = 2.0, p_build: float = 0.6,
+                   density: int = 40) -> np.ndarray:
+    """Procedural building facades anchored to the REAL road map.
+
+    The recorded town02-map.bin is the drivable area only, and it is planar
+    (all z = -2.5) — in-plane ego-motion is UNOBSERVABLE from it (the
+    aperture problem: a flat road looks identical slid along itself).
+    Measured consequence: even with near-perfect segmentation (moving-IoU
+    0.985 after the round-5 fine-tune) the map-only scene tracks at ~1.4-
+    1.7 m ATE because neither learned flow nor point-to-plane refinement
+    can recover what the geometry does not constrain. Real Town02 LiDAR
+    scans (the reference's recorded sequences, Process.py) see building
+    facades along the streets; this reconstructs that observability:
+    point-sampled vertical walls extruded on occupancy-grid cells ADJACENT
+    to the road (where Town02's facades actually stand), deterministic in
+    ``seed``. Returns [P, 3] static world points (flow semantics: rigid
+    ego-flow, s_fg_mask = 0, exactly like the map points).
+    """
+    m = np.fromfile(MAP_BIN, np.float32).reshape(-1, 4)[:, :3]
+    lo = m[:, :2].min(0)
+    g = np.floor((m[:, :2] - lo) / cell).astype(np.int64)
+    shape = tuple(g.max(0) + 1)
+    occ = np.zeros(shape, bool)
+    occ[g[:, 0], g[:, 1]] = True
+    # edge cells: unoccupied, 8-adjacent to road
+    pad = np.pad(occ, 1)
+    neigh = np.zeros_like(occ)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx or dy:
+                neigh |= pad[1 + dx:1 + dx + shape[0],
+                             1 + dy:1 + dy + shape[1]]
+    edge = neigh & ~occ
+    cells = np.argwhere(edge)
+    rng = np.random.default_rng(909 + seed)
+    keep = cells[rng.random(len(cells)) < p_build]
+    pts = []
+    for cx, cy in keep:
+        h = float(rng.uniform(2.5, 7.0))  # facade height per cell
+        u = rng.uniform(0, 1, (density, 3)).astype(np.float32)
+        w = np.empty((density, 3), np.float32)
+        w[:, 0] = lo[0] + (cx + u[:, 0]) * cell
+        w[:, 1] = lo[1] + (cy + u[:, 1]) * cell
+        w[:, 2] = -2.5 + u[:, 2] * h
+        pts.append(w)
+    return (np.concatenate(pts, 0) if pts
+            else np.zeros((0, 3), np.float32))
+
+
 def make_frames(n_frames: int, radius: float = 60.0, min_pts: int = 512,
                 n_vehicles: int = 0, seed: int = 0,
-                route_seed: int | None = None):
+                route_seed: int | None = None,
+                structures: bool = False):
     """Frame pairs off the real Town02 map, optionally with tracked movers.
 
     With ``n_vehicles`` > 0, each frame's clouds include the vehicles'
@@ -141,6 +191,10 @@ def make_frames(n_frames: int, radius: float = 60.0, min_pts: int = 512,
     carries the object's own motion + rotation delta
     (data/sceneflow_gen.py::compute_pairwise_scene_flow, matching
     Generate_Sceneflow.py:498-523), and ``s_fg_mask`` labels mover points.
+
+    ``structures=True`` adds procedural facades along the road edges
+    (``map_structures``): without them the map-only world is planar and
+    in-plane ego-motion is unobservable — see map_structures' docstring.
     """
     from ssf_slam_tpu.data.sceneflow_gen import (
         ObjectTrack,
@@ -148,6 +202,8 @@ def make_frames(n_frames: int, radius: float = 60.0, min_pts: int = 512,
     )
 
     m = np.fromfile(MAP_BIN, np.float32).reshape(-1, 4)[:, :3]
+    if structures:
+        m = np.concatenate([m, map_structures(seed=seed)], 0)
     poses = sensor_track(n_frames, route_seed)
     vehicles = vehicle_tracks(n_frames, n_vehicles, seed=seed,
                               route_seed=route_seed)
@@ -201,8 +257,8 @@ def make_frames(n_frames: int, radius: float = 60.0, min_pts: int = 512,
 
 def training_frames(n_routes: int, frames_per_route: int,
                     n_points: int = 8192, n_vehicles: int = 4,
-                    seed_base: int = 0, fg_oversample: int = 0
-                    ) -> list[dict]:
+                    seed_base: int = 0, fg_oversample: int = 0,
+                    structures: bool = True) -> list[dict]:
     """Town02-map frame pairs in the trainer's key dialect.
 
     Each route draws a distinct start pose / heading / curvature
@@ -219,7 +275,8 @@ def training_frames(n_routes: int, frames_per_route: int,
     for r in range(n_routes):
         raw, _ = make_frames(
             frames_per_route, n_vehicles=n_vehicles,
-            seed=seed_base + 17 * r, route_seed=seed_base + 31 * r + 1)
+            seed=seed_base + 17 * r, route_seed=seed_base + 31 * r + 1,
+            structures=structures)
         for fr in raw:
             fg = fr.get("s_fg_mask",
                         np.zeros(len(fr["points1"]), np.float32))
