@@ -124,6 +124,11 @@ def main() -> int:
                         "held-out Town02 route ('t2', requires "
                         "--town02-routes), or their mean EPE gated on the "
                         "WORSE of the two moving-IoUs ('mean')")
+    p.add_argument("--freeze-bn", action="store_true",
+                   help="fine-tuning: run BatchNorm in inference mode "
+                        "(frozen running stats) — guards the source domain "
+                        "against batch-stat shift from mixed foreign data "
+                        "(see train/trainer.py::make_train_step)")
     p.add_argument("--neighbor-backend", default="banded",
                    help="'banded' (TPU Pallas kernels, production) or "
                         "'xla' (portable; for CPU debugging runs)")
@@ -191,7 +196,8 @@ def main() -> int:
 
         state = load_checkpoint(os.path.abspath(args.init_from), state)
         print(f"warm-started from {args.init_from}/best", flush=True)
-    step_fn = make_train_step(model, tx, tcfg, loss_cfg)
+    step_fn = make_train_step(model, tx, tcfg, loss_cfg,
+                              freeze_bn=args.freeze_bn)
     eval_fn = make_eval_step(model)
 
     os.makedirs(args.out, exist_ok=True)

@@ -83,16 +83,33 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: TrainConfig = TrainConfig(),
     loss_cfg: LossConfig = LossConfig(),
+    freeze_bn: bool = False,
 ):
-    """Build the jitted train step (donated carry)."""
+    """Build the jitted train step (donated carry).
+
+    ``freeze_bn`` runs BatchNorm in inference mode during training (frozen
+    running stats, no updates) — the standard fine-tuning guard against
+    domain-shifted batch statistics. Measured motivation (round 5): mixing
+    12-37% Town02 pairs into the corpus dropped SYNTHETIC eval moving-IoU
+    0.905 -> ~0.70 at epoch 0 regardless of lr (1e-4 or 3e-5) — a
+    batch-stats shift, not weight forgetting, since BN momentum updates
+    don't scale with the learning rate.
+    """
 
     def step_fn(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
         def loss_fn(params):
-            (flows, fps), updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["pos1"], batch["pos2"], train=True,
-                mutable=["batch_stats"],
-            )
+            if freeze_bn:
+                flows, fps = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["pos1"], batch["pos2"], train=False,
+                )
+                updates = {"batch_stats": state.batch_stats}
+            else:
+                (flows, fps), updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["pos1"], batch["pos2"], train=True,
+                    mutable=["batch_stats"],
+                )
             seg = batch.get("s_fg_mask") if model.cfg.joint_seg else None
             loss = multi_scale_loss(
                 flows, batch["gt"], batch["mask1"].astype(jnp.float32), fps,

@@ -356,3 +356,37 @@ def test_town02_training_frames_dialect():
     fr2 = training_frames(2, 3, n_points=2048, n_vehicles=3, seed_base=0,
                           fg_oversample=256)
     assert np.array_equal(fr[0]["pos1"], fr2[0]["pos1"])
+
+
+def test_town02_structures_observable_and_static():
+    """map_structures: deterministic facades on road-edge cells that make
+    the planar map observable; in make_frames they are STATIC world points
+    (rigid ego-flow, never labeled movers) — data/town02.py round-5
+    observability fix."""
+    if not os.path.exists(TOWN02_BIN):
+        pytest.skip("reference Town02 map not present")
+    from ssf_slam_tpu.data.town02 import make_frames, map_structures
+
+    st = map_structures(seed=3)
+    st2 = map_structures(seed=3)
+    assert np.array_equal(st, st2)  # deterministic
+    assert len(st) > 5000
+    # facades rise above the road plane (z = -2.5): the observability claim
+    assert float(st[:, 2].max()) > 0.0
+    assert float(st[:, 2].min()) >= -2.51
+    # different seed -> different placement
+    assert not np.array_equal(st, map_structures(seed=4))
+
+    base, _ = make_frames(3, n_vehicles=2, seed=5, structures=False)
+    built, _ = make_frames(3, n_vehicles=2, seed=5, structures=True)
+    for fb, fs in zip(base, built):
+        assert len(fs["points1"]) > len(fb["points1"])  # walls in range
+        # mover labels: identical mover COUNT cannot be asserted (sampling
+        # differs) but structures must never be labeled as movers — every
+        # point above vehicle roof height (movers are <= ~2 m tall boxes
+        # on the road) is static
+        high = fs["points1"][:, 2] - fs["points1"][:, 2].min() > 8.0
+        if high.any():
+            assert not fs["s_fg_mask"][high].any()
+        # structure points carry the rigid ego-flow: finite everywhere
+        assert np.isfinite(fs["flow"]).all()
